@@ -1,0 +1,21 @@
+from .apply import CdcApplier, create_pages_table, read_pages, seed_pages
+from .generate import ChangeGenConfig, changes_df, gen_changes, gen_pages, pages_df
+from .oracle import oracle_apply, oracle_quarantine, validity_reason
+from .replay import ReplayReport, replay
+
+__all__ = [
+    "CdcApplier",
+    "create_pages_table",
+    "seed_pages",
+    "read_pages",
+    "ChangeGenConfig",
+    "gen_pages",
+    "gen_changes",
+    "pages_df",
+    "changes_df",
+    "oracle_apply",
+    "oracle_quarantine",
+    "validity_reason",
+    "replay",
+    "ReplayReport",
+]

@@ -1,0 +1,322 @@
+r"""The apply stage: idempotent, exactly-once MERGE of a change batch.
+
+Pipeline per batch (SURVEY.md §3.4):
+
+    changes --split--> quarantine table (dead letter, with reasons)
+        \--valid--> canonicalize(url) --> dedup winners (1 shuffle)
+                    --> vectorized transforms (text, lang)
+                    --> MERGE into pages (join only the touched buckets)
+                    --> single atomic commit: data + offsets + metrics
+
+Exactly-once: the batch id / LSN range is written into the *same*
+snapshot commit as the data (lake Table properties = Iceberg snapshot
+summary).  Re-applying a batch whose id <= the committed watermark is
+detected up front and becomes a no-op, so crash-replay converges to the
+identical snapshot.
+
+Last-writer-wins across batches: the table keeps two engine columns —
+``_lsn`` (lsn of the event that produced the row; -1 for seed rows) and
+``_deleted`` (tombstone flag).  Tombstones must be retained: a delete
+at warc_ts=T must beat a *later-arriving* insert with warc_ts<T.  A
+compaction that drops tombstones older than an event-time watermark is
+provided separately (``compact_tombstones``).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import StructType
+
+from ..lake import Table
+from .plan import (
+    canonicalize,
+    dedup_winners,
+    dedup_winners_window,
+    detect_hot_keys,
+    split_quarantine,
+    transform_winners,
+)
+
+PAGES_PUBLIC = "url string, warc_ts timestamp, html binary, text string, lang string"
+ENGINE_COLS = ["_lsn", "_deleted"]
+
+QUARANTINE_SCHEMA = (
+    "lsn long, op string, url string, warc_ts timestamp, html binary, "
+    "reason string, batch_id long"
+)
+METRICS_SCHEMA = (
+    "stream_id string, batch_id long, stage string, bucket int, rows long, "
+    "wall_ms long"
+)
+
+
+def pages_internal_schema(extra: str = "") -> StructType:
+    ddl = PAGES_PUBLIC + ", _lsn long, _deleted boolean"
+    if extra:
+        ddl += ", " + extra
+    return StructType.fromDDL(ddl)
+
+
+def create_pages_table(
+    spark: SparkSession, path: str, n_buckets: int = 32
+) -> Table:
+    return Table.create(
+        spark, path, pages_internal_schema(), bucket_key="url", n_buckets=n_buckets
+    )
+
+
+def seed_pages(table: Table, pages: DataFrame) -> None:
+    """Load the initial pages table (seed rows get _lsn = -1)."""
+    df = pages.withColumn("_lsn", F.lit(-1).cast("long")).withColumn(
+        "_deleted", F.lit(False)
+    )
+    table.append(df)
+
+
+def read_pages(table: Table) -> DataFrame:
+    """Public view: live rows only, engine columns hidden."""
+    df = table.read()
+    keep = [c for c in df.columns if c not in ENGINE_COLS]
+    return df.filter(~F.col("_deleted")).select(*keep)
+
+
+@dataclass
+class ApplyResult:
+    batch_id: int
+    skipped: bool = False
+    rows_in: int = 0
+    rows_quarantined: int = 0
+    rows_winners: int = 0
+    buckets_touched: int = 0
+    wall_ms: int = 0
+    per_bucket: list = field(default_factory=list)  # (bucket, rows_applied)
+
+
+class CdcApplier:
+    """Owns the target pages table + quarantine + metrics side tables."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        n_buckets: int = 32,
+        stream_id: str = "default",
+        dedup_mode: str = "agg",
+        hot_key_threshold: int | None = None,
+    ):
+        self.spark = spark
+        self.root = root
+        self.stream_id = stream_id
+        self.dedup_mode = dedup_mode
+        self.hot_key_threshold = hot_key_threshold
+        pages_path = os.path.join(root, "pages")
+        if Table.exists(pages_path):
+            self.pages = Table.load(spark, pages_path)
+        else:
+            self.pages = create_pages_table(spark, pages_path, n_buckets)
+        self.quarantine = self._side_table("quarantine", QUARANTINE_SCHEMA, "url")
+        self.metrics = self._side_table("metrics", METRICS_SCHEMA, "stream_id")
+
+    def _side_table(self, name: str, ddl: str, key: str) -> Table:
+        path = os.path.join(self.root, name)
+        if Table.exists(path):
+            return Table.load(self.spark, path)
+        return Table.create(
+            self.spark, path, StructType.fromDDL(ddl), bucket_key=key, n_buckets=4
+        )
+
+    # ---- offset log -------------------------------------------------------
+
+    def last_committed_batch(self) -> int:
+        return int(
+            self.pages.properties.get(f"stream.{self.stream_id}.last_batch", "-1")
+        )
+
+    # ---- the apply ---------------------------------------------------------
+
+    def apply_batch(
+        self, changes: DataFrame, batch_id: int, lsn_range: tuple[int, int] | None = None
+    ) -> ApplyResult:
+        t0 = time.monotonic()
+        if batch_id <= self.last_committed_batch():
+            # exactly-once guard: replayed batch is a committed no-op
+            return ApplyResult(batch_id=batch_id, skipped=True)
+
+        valid, quarantined = split_quarantine(changes)
+
+        # quarantine route (idempotent via its own batch watermark)
+        q_mark = f"stream.{self.stream_id}.last_batch"
+        q_last = int(self.quarantine.properties.get(q_mark, "-1"))
+        n_quar = 0
+        if q_last < batch_id:
+            q_df = quarantined.withColumn("batch_id", F.lit(batch_id).cast("long"))
+            n_quar = q_df.count()
+            if n_quar > 0:
+                self.quarantine.append(q_df, {q_mark: str(batch_id)})
+            else:
+                self.quarantine.set_properties({q_mark: str(batch_id)})
+
+        canon = canonicalize(valid)
+        if self.dedup_mode == "window":
+            hot = None
+            if self.hot_key_threshold:
+                hot = detect_hot_keys(canon, self.hot_key_threshold)
+            winners = dedup_winners_window(canon, hot_keys=hot)
+        else:
+            winners = dedup_winners(canon)
+        staged = transform_winners(winners)
+
+        n_in = changes.count()
+        result = self._merge(staged, batch_id, lsn_range)
+        result.rows_in = n_in
+        result.rows_quarantined = n_quar
+        result.wall_ms = int((time.monotonic() - t0) * 1000)
+        self._record_metrics(result)
+        return result
+
+    def _merge(
+        self, staged: DataFrame, batch_id: int, lsn_range: tuple[int, int] | None
+    ) -> ApplyResult:
+        """Join winners against only the touched buckets; rewrite those.
+
+        The join is a plain equi-join on the canonical key; at cluster
+        scale AQE picks broadcast when the winner set is small and
+        splits skewed partitions otherwise.  Bucket pruning bounds the
+        rewrite to touched buckets — the 100 TB survival property.
+        """
+        snap = self.pages.current_snapshot()
+        payload_cols = [
+            f["name"]
+            for f in snap.schema_fields
+            if f["name"] not in ("url", "warc_ts", *ENGINE_COLS)
+        ]
+        col_type = {f["name"]: f["type"] for f in snap.schema_fields}
+
+        src = staged.withColumn("_bucket", self.pages.bucket_expr("url"))
+        src = src.persist()
+        try:
+            touched = [r[0] for r in src.select("_bucket").distinct().collect()]
+            n_winners = src.count()
+
+            target = self.pages.read(snap=snap, buckets=touched, with_bucket_col=True)
+
+            s_cols = F.struct(
+                F.col("url").alias("url"),
+                F.col("warc_ts").alias("warc_ts"),
+                F.col("lsn").alias("lsn"),
+                F.col("op").alias("op"),
+                F.col("_bucket").alias("_bucket"),
+                *[
+                    (
+                        F.col(c).cast(col_type[c])
+                        if c in src.columns
+                        else F.lit(None).cast(col_type[c])
+                    ).alias(c)
+                    for c in payload_cols
+                ],
+            )
+            s = src.select(s_cols.alias("s"))
+            t = target.select(F.struct(*[F.col(c) for c in target.columns]).alias("t"))
+
+            joined = s.join(t, F.col("s.url") == F.col("t.url"), "full_outer")
+
+            s_wins = F.col("t").isNull() | (
+                F.col("s").isNotNull()
+                & (
+                    (F.col("s.warc_ts") > F.col("t.warc_ts"))
+                    | (
+                        (F.col("s.warc_ts") == F.col("t.warc_ts"))
+                        & (F.col("s.lsn") > F.col("t._lsn"))
+                    )
+                )
+            )
+
+            merged = joined.select(
+                F.when(s_wins, F.col("s.url")).otherwise(F.col("t.url")).alias("url"),
+                F.when(s_wins, F.col("s.warc_ts"))
+                .otherwise(F.col("t.warc_ts"))
+                .alias("warc_ts"),
+                *[
+                    F.when(s_wins, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
+                    for c in payload_cols
+                ],
+                F.when(s_wins, F.col("s.lsn")).otherwise(F.col("t._lsn")).alias("_lsn"),
+                F.when(s_wins, F.col("s.op") == "D")
+                .otherwise(F.col("t._deleted"))
+                .alias("_deleted"),
+                F.when(s_wins, F.col("s._bucket"))
+                .otherwise(F.col("t._bucket"))
+                .alias("_bucket"),
+            )
+            # tombstones keep key+ordering info, null payload
+            merged = merged.select(
+                "url",
+                "warc_ts",
+                *[
+                    F.when(F.col("_deleted"), F.lit(None)).otherwise(F.col(c)).alias(c)
+                    for c in payload_cols
+                ],
+                "_lsn",
+                "_deleted",
+                "_bucket",
+            )
+
+            ordered_cols = [f["name"] for f in snap.schema_fields] + ["_bucket"]
+            merged = merged.select(*ordered_cols).persist()
+            per_bucket = [
+                (r["_bucket"], r["cnt"])
+                for r in merged.groupBy("_bucket").agg(F.count("*").alias("cnt")).collect()
+            ]
+
+            props = {
+                f"stream.{self.stream_id}.last_batch": str(batch_id),
+                f"stream.{self.stream_id}.batch.{batch_id}.winners": str(n_winners),
+            }
+            if lsn_range is not None:
+                props[f"stream.{self.stream_id}.last_lsn"] = str(lsn_range[1])
+            self.pages.overwrite_buckets(touched, merged, props, base=snap)
+            merged.unpersist()
+            return ApplyResult(
+                batch_id=batch_id,
+                rows_winners=n_winners,
+                buckets_touched=len(touched),
+                per_bucket=sorted(per_bucket),
+            )
+        finally:
+            src.unpersist()
+
+    def _record_metrics(self, res: ApplyResult) -> None:
+        mark = f"stream.{self.stream_id}.last_batch"
+        if int(self.metrics.properties.get(mark, "-1")) >= res.batch_id:
+            return
+        rows = [
+            (self.stream_id, res.batch_id, "input", None, res.rows_in, res.wall_ms),
+            (self.stream_id, res.batch_id, "quarantined", None, res.rows_quarantined, None),
+            (self.stream_id, res.batch_id, "winners", None, res.rows_winners, None),
+        ] + [
+            (self.stream_id, res.batch_id, "applied", int(b), int(n), None)
+            for b, n in res.per_bucket
+        ]
+        df = self.spark.createDataFrame(rows, StructType.fromDDL(METRICS_SCHEMA))
+        self.metrics.append(df, {mark: str(res.batch_id)})
+
+    # ---- maintenance ---------------------------------------------------------
+
+    def compact_tombstones(self, watermark_ts) -> None:
+        """Drop tombstones older than an event-time watermark.
+
+        Safe once the stream guarantees no event older than the
+        watermark will ever arrive (the watermark is an operator
+        decision, as in any streaming system).  Rewrites all buckets.
+        """
+        snap = self.pages.current_snapshot()
+        df = self.pages.read(snap=snap, with_bucket_col=True)
+        kept = df.filter(
+            ~(F.col("_deleted") & (F.col("warc_ts") < F.lit(watermark_ts)))
+        )
+        all_buckets = [int(b) for b in snap.buckets]
+        self.pages.overwrite_buckets(all_buckets, kept, base=snap)

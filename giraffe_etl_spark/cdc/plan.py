@@ -1,0 +1,160 @@
+"""Batch planning: quarantine routing, canonicalization, per-key dedup.
+
+All pure DataFrame -> DataFrame builders (no actions), so Catalyst sees
+one logical plan per batch and can pipeline projection/filter stages
+into a single whole-stage-codegen'd pass over the scan.
+
+Dedup strategy (the heart of the apply stage):
+
+``dedup_winners`` uses ``groupBy(url).agg(max_by(payload, (warc_ts,
+lsn)))``.  Spark executes this as a partial (map-side) hash aggregate
+followed by a final aggregate after the hash(url) shuffle — i.e. hot
+keys are collapsed *before* the shuffle, so a zipf-skewed stream ships
+at most (#map tasks) pre-aggregated rows per hot key instead of
+millions.  This is the same trick as giraffe-etl's per-value
+memoization (compute once per distinct value, ProcessingEngine.java:
+74-89 — behavior studied, not ported) done with relational algebra.
+
+``dedup_winners_window`` is the explicit row_number() formulation, plus
+hot-key detection + salting (two-phase: per (url, salt) top-1, then per
+url top-1).  It exists to demonstrate and test explicit skew handling
+per the north rule; the agg path is the default because the partial
+aggregate subsumes salting with less machinery.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..functions.udf import extract_text_udf, normalize_url_udf, tag_lang_udf
+
+CHANGE_COLS = ["lsn", "op", "url", "warc_ts", "html"]
+
+
+def split_quarantine(changes: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Route malformed events to the dead-letter side with a reason.
+
+    Mirrors cdc/oracle.py::validity_reason exactly (single contract).
+    Reference analog: giraffe's error events + discard routes
+    (dataprocessing.xsd:84-111 — behavior only).
+    """
+    reason = (
+        F.when(F.col("url").isNull() | (F.trim(F.col("url")) == ""), "null_url")
+        .when(~F.col("op").isin("I", "U", "D"), "bad_op")
+        .when(F.col("warc_ts").isNull(), "null_warc_ts")
+        .when(F.col("op").isin("I", "U") & F.col("html").isNull(), "null_html")
+    )
+    tagged = changes.withColumn("_reason", reason)
+    valid = tagged.filter(F.col("_reason").isNull()).drop("_reason")
+    quarantined = tagged.filter(F.col("_reason").isNotNull()).withColumnRenamed(
+        "_reason", "reason"
+    )
+    return valid, quarantined
+
+
+def canonicalize(valid: DataFrame) -> DataFrame:
+    """Replace url with its canonical (normalized) form — the CDC key."""
+    return valid.withColumn("url", normalize_url_udf(F.col("url")))
+
+
+def dedup_winners(valid: DataFrame) -> DataFrame:
+    """Per-url winning event by max (warc_ts, lsn) — agg formulation.
+
+    One shuffle on url, with map-side partial aggregation (skew-proof,
+    see module docstring).  Output columns: CHANGE_COLS.
+    """
+    payload = F.struct(*[F.col(c) for c in CHANGE_COLS])
+    rank = F.struct(F.col("warc_ts"), F.col("lsn"))
+    won = valid.groupBy("url").agg(F.max_by(payload, rank).alias("w"))
+    return won.select(*[F.col(f"w.{c}").alias(c) for c in CHANGE_COLS])
+
+
+def detect_hot_keys(
+    valid: DataFrame, threshold: int, sample_fraction: float | None = None
+) -> DataFrame:
+    """Keys whose event count exceeds ``threshold`` (optionally sampled).
+
+    At 10^10-event scale run this on a deterministic sample (seeded) and
+    scale the threshold; output is small (it's a *hot* key list) and is
+    broadcast by the salting join.
+    """
+    src = valid
+    scale = 1.0
+    if sample_fraction and sample_fraction < 1.0:
+        src = valid.sample(fraction=sample_fraction, seed=7)
+        scale = 1.0 / sample_fraction
+    return (
+        src.groupBy("url")
+        .agg((F.count(F.lit(1)) * F.lit(scale)).alias("est_events"))
+        .filter(F.col("est_events") > threshold)
+        .select("url", "est_events")
+    )
+
+
+def dedup_winners_window(
+    valid: DataFrame,
+    hot_keys: DataFrame | None = None,
+    n_salts: int = 16,
+) -> DataFrame:
+    """row_number() formulation with explicit hot-key salting.
+
+    Cold keys: single window over (url).  Hot keys (from
+    ``detect_hot_keys``): phase 1 picks a winner per (url, salt) with
+    salt = pmod(hash(lsn), n_salts) — spreads one hot key over n_salts
+    reducers; phase 2 reduces the <= n_salts survivors per key.
+    """
+    if hot_keys is None:
+        w = Window.partitionBy("url").orderBy(
+            F.col("warc_ts").desc(), F.col("lsn").desc()
+        )
+        return (
+            valid.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    marked = valid.join(F.broadcast(hot_keys.select("url")), "url", "left_semi")
+    cold = valid.join(F.broadcast(hot_keys.select("url")), "url", "left_anti")
+
+    w_cold = Window.partitionBy("url").orderBy(
+        F.col("warc_ts").desc(), F.col("lsn").desc()
+    )
+    cold_winners = (
+        cold.withColumn("_rn", F.row_number().over(w_cold))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+    salted = marked.withColumn("_salt", F.pmod(F.hash("lsn"), F.lit(n_salts)))
+    w1 = Window.partitionBy("url", "_salt").orderBy(
+        F.col("warc_ts").desc(), F.col("lsn").desc()
+    )
+    phase1 = (
+        salted.withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_salt")
+    )
+    w2 = Window.partitionBy("url").orderBy(
+        F.col("warc_ts").desc(), F.col("lsn").desc()
+    )
+    hot_winners = (
+        phase1.withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return cold_winners.unionByName(hot_winners)
+
+
+def transform_winners(winners: DataFrame) -> DataFrame:
+    """The vectorized transform chain, applied post-dedup.
+
+    Running the pandas UDFs *after* dedup means the expensive html ->
+    text work happens once per surviving key, not once per raw event —
+    the giraffe memoization insight applied at plan level.  Delete
+    winners carry null payloads (tombstone shape).
+    """
+    text = F.when(F.col("op") != "D", extract_text_udf(F.col("html")))
+    out = winners.withColumn("text", text)
+    return out.withColumn(
+        "lang", F.when(F.col("op") != "D", tag_lang_udf(F.col("text")))
+    )

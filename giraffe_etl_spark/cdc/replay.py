@@ -1,0 +1,79 @@
+"""Replay loop: tail the change stream in bounded batches, resumably.
+
+``replay`` is the giraffe `Cli --usecache` analog: it reads the last
+committed batch id from the pages table's snapshot properties (the
+transactional offset log) and continues from the next batch.  Killing
+the process anywhere — including between the quarantine commit and the
+pages commit — and re-running converges to the same final snapshot,
+because every commit is guarded by its batch watermark.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import SparkSession
+
+from .apply import ApplyResult, CdcApplier
+from .generate import ChangeGenConfig, changes_df
+
+
+@dataclass
+class ReplayReport:
+    batches: list[ApplyResult]
+
+    @property
+    def events_total(self) -> int:
+        return sum(b.rows_in for b in self.batches if not b.skipped)
+
+    @property
+    def wall_ms_total(self) -> int:
+        return sum(b.wall_ms for b in self.batches if not b.skipped)
+
+
+def replay(
+    applier: CdcApplier,
+    spark: SparkSession,
+    n_events: int,
+    batch_size: int,
+    cfg: ChangeGenConfig | None = None,
+    max_batches: int | None = None,
+) -> ReplayReport:
+    """Apply the deterministic stream [0, n_events) in batches.
+
+    Batch b covers stream rows [b*batch_size, (b+1)*batch_size); the
+    batch id doubles as the offset (lsn ranges are derived, 3 lsn per
+    row index — see cdc/generate.py).  Resumes after the last committed
+    batch automatically.
+    """
+    cfg = cfg or ChangeGenConfig()
+    n_batches = (n_events + batch_size - 1) // batch_size
+    start_batch = applier.last_committed_batch() + 1
+    results: list[ApplyResult] = []
+    done = 0
+    for b in range(start_batch, n_batches):
+        lo = b * batch_size
+        hi = min(lo + batch_size, n_events)
+        # build the batch directly over its index range (no full-stream scan)
+        batch = _batch_df(spark, cfg, lo, hi)
+        res = applier.apply_batch(batch, batch_id=b, lsn_range=(lo * 3, hi * 3 - 1))
+        results.append(res)
+        done += 1
+        if max_batches is not None and done >= max_batches:
+            break
+    return ReplayReport(results)
+
+
+def _batch_df(spark: SparkSession, cfg: ChangeGenConfig, lo: int, hi: int):
+    from .generate import _CHANGES_SCHEMA, gen_change_batch
+
+    num_parts = spark.sparkContext.defaultParallelism
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            if len(ids) == 0:
+                continue
+            yield gen_change_batch(cfg, int(ids.min()), len(ids))
+
+    return spark.range(lo, hi, 1, num_parts).mapInPandas(gen, schema=_CHANGES_SCHEMA)

@@ -1,0 +1,432 @@
+"""Snapshot-isolated, bucketed lake table over parquet files.
+
+Why this exists: the production design targets Apache Iceberg
+(``MERGE INTO`` + snapshot properties for the offset log, see
+SURVEY.md §3.4).  The sandbox ships no Iceberg runtime jar, so this
+module supplies the same *semantics* with the same API shape, keeping
+everything above it (cdc/apply.py) a thin, portable planner:
+
+- **snapshot isolation / atomic commit**: a snapshot is an immutable
+  JSON manifest (file list per bucket + schema + properties); the
+  current-snapshot pointer is flipped by an atomic ``os.rename``;
+  optimistic concurrency via parent-id check,
+- **bucket layout**: rows are hash-distributed into N buckets by a key
+  column (Iceberg ``bucket(N, url)``); MERGE rewrites only the buckets
+  the source batch touches — at 100 TB this is the difference between
+  rewriting gigabytes and rewriting the table,
+- **schema evolution by column id**: add / rename / widen keep stable
+  column ids (rename is a name change on the same id); every data file
+  records the schema id it was written under, and reads map old files
+  onto the current schema by id (rename-safe, widen-casts, fills added
+  columns with null),
+- **properties**: arbitrary string map carried on each snapshot — the
+  CDC layer stores stream offsets there, which is what makes the
+  offset log transactional with the data (exactly-once).
+
+Reference analog (behavior only): the transactional BDB JE environment
+that giraffe-etl used as its persistent state store + resume cache
+(libgiraffe2 database/DatabaseHandler.java:140-167, ``--usecache``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import StructType
+
+_WIDENINGS = {
+    ("int", "bigint"),
+    ("float", "double"),
+    ("timestamp", "timestamp_ntz"),
+    ("timestamp_ntz", "timestamp"),
+    ("date", "timestamp"),
+}
+
+
+class CommitConflict(Exception):
+    """Another writer committed since this snapshot was read."""
+
+
+@dataclass
+class Snapshot:
+    snapshot_id: int
+    parent_id: int | None
+    schema_id: int
+    schemas: dict[str, list[dict]]          # schema_id -> [{id,name,type}]
+    buckets: dict[str, list[dict]]          # bucket -> [{path, schema_id, rows}]
+    properties: dict[str, str] = field(default_factory=dict)
+    summary: dict[str, int] = field(default_factory=dict)
+
+    @property
+    def schema_fields(self) -> list[dict]:
+        return self.schemas[str(self.schema_id)]
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "snapshot_id": self.snapshot_id,
+                "parent_id": self.parent_id,
+                "schema_id": self.schema_id,
+                "schemas": self.schemas,
+                "buckets": self.buckets,
+                "properties": self.properties,
+                "summary": self.summary,
+            },
+            sort_keys=True,
+        )
+
+    @staticmethod
+    def from_json(s: str) -> "Snapshot":
+        d = json.loads(s)
+        return Snapshot(**d)
+
+
+def _atomic_write(path: str, content: str) -> None:
+    tmp = f"{path}.tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        f.write(content)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, path)  # POSIX-atomic pointer flip
+
+
+class Table:
+    """A bucketed, snapshot-versioned parquet table.
+
+    Layout::
+
+        <path>/_meta/v{N}.json   immutable snapshot manifests
+        <path>/_meta/_current    text file holding the current N
+        <path>/data/...parquet   immutable data files
+    """
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        self.meta_dir = os.path.join(path, "_meta")
+        self.data_dir = os.path.join(path, "data")
+
+    # ---- lifecycle -----------------------------------------------------
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        schema: StructType,
+        bucket_key: str,
+        n_buckets: int,
+        properties: dict[str, str] | None = None,
+    ) -> "Table":
+        t = cls(spark, path)
+        os.makedirs(t.meta_dir, exist_ok=False)
+        os.makedirs(t.data_dir, exist_ok=True)
+        fields = [
+            {"id": i + 1, "name": f.name, "type": f.dataType.simpleString()}
+            for i, f in enumerate(schema.fields)
+        ]
+        props = dict(properties or {})
+        props["bucket.key"] = bucket_key
+        props["bucket.count"] = str(n_buckets)
+        snap = Snapshot(
+            snapshot_id=0,
+            parent_id=None,
+            schema_id=0,
+            schemas={"0": fields},
+            buckets={},
+            properties=props,
+            summary={"total_rows": 0},
+        )
+        t._write_snapshot(snap)
+        return t
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "Table":
+        t = cls(spark, path)
+        if not os.path.exists(os.path.join(t.meta_dir, "_current")):
+            raise FileNotFoundError(f"not a lake table: {path}")
+        return t
+
+    @staticmethod
+    def exists(path: str) -> bool:
+        return os.path.exists(os.path.join(path, "_meta", "_current"))
+
+    # ---- snapshot plumbing ----------------------------------------------
+
+    def current_snapshot(self) -> Snapshot:
+        with open(os.path.join(self.meta_dir, "_current")) as f:
+            n = int(f.read().strip())
+        with open(os.path.join(self.meta_dir, f"v{n}.json")) as f:
+            return Snapshot.from_json(f.read())
+
+    def snapshot_at(self, snapshot_id: int) -> Snapshot:
+        with open(os.path.join(self.meta_dir, f"v{snapshot_id}.json")) as f:
+            return Snapshot.from_json(f.read())
+
+    def _write_snapshot(self, snap: Snapshot) -> None:
+        """Commit: manifest write, then conflict check, then pointer flip."""
+        mpath = os.path.join(self.meta_dir, f"v{snap.snapshot_id}.json")
+        if os.path.exists(mpath):
+            raise CommitConflict(f"snapshot {snap.snapshot_id} already exists")
+        _atomic_write(mpath, snap.to_json())
+        cur = os.path.join(self.meta_dir, "_current")
+        if os.path.exists(cur) and snap.parent_id is not None:
+            with open(cur) as f:
+                if int(f.read().strip()) != snap.parent_id:
+                    os.remove(mpath)
+                    raise CommitConflict("current snapshot moved during commit")
+        _atomic_write(cur, str(snap.snapshot_id))
+
+    @property
+    def properties(self) -> dict[str, str]:
+        return self.current_snapshot().properties
+
+    def n_buckets(self) -> int:
+        return int(self.current_snapshot().properties["bucket.count"])
+
+    def bucket_key(self) -> str:
+        return self.current_snapshot().properties["bucket.key"]
+
+    def bucket_expr(self, col: str | None = None) -> F.Column:
+        """pmod(murmur3(key), N) — the table's partition transform."""
+        key = col or self.bucket_key()
+        return F.pmod(F.hash(F.col(key)), F.lit(self.n_buckets())).cast("int")
+
+    # ---- read path --------------------------------------------------------
+
+    def _current_struct(self, snap: Snapshot) -> StructType:
+        ddl = ", ".join(f"`{f['name']}` {f['type']}" for f in snap.schema_fields)
+        return StructType.fromDDL(ddl)
+
+    def read(
+        self,
+        snap: Snapshot | None = None,
+        buckets: list[int] | None = None,
+        with_bucket_col: bool = False,
+    ) -> DataFrame:
+        """Schema-id-aware scan of the given snapshot.
+
+        Files written under old schema ids are mapped onto the current
+        schema by column id: renames resolve, widened types cast, added
+        columns materialize as nulls.  ``buckets`` restricts the scan to
+        those bucket ids (partition pruning — the MERGE path relies on
+        it).  ``with_bucket_col`` adds the storage bucket id as
+        ``_bucket`` without recomputing hashes.
+        """
+        snap = snap or self.current_snapshot()
+        cur_fields = snap.schema_fields
+        cur_by_id = {f["id"]: f for f in cur_fields}
+        want = [str(b) for b in buckets] if buckets is not None else None
+
+        # group live files by the schema they were written under
+        groups: dict[str, list[tuple[str, str]]] = {}
+        for b, files in snap.buckets.items():
+            if want is not None and b not in want:
+                continue
+            for fi in files:
+                groups.setdefault(str(fi["schema_id"]), []).append((fi["path"], b))
+
+        empty = self.spark.createDataFrame([], self._current_struct(snap))
+        if with_bucket_col:
+            empty = empty.withColumn("_bucket", F.lit(None).cast("int"))
+        if not groups:
+            return empty
+
+        parts = []
+        for sid, file_buckets in groups.items():
+            file_fields = snap.schemas[sid]
+            file_by_id = {f["id"]: f for f in file_fields}
+            paths = [p for p, _ in file_buckets]
+            df = self.spark.read.parquet(*paths)
+            cols = []
+            for f in cur_fields:
+                old = file_by_id.get(f["id"])
+                if old is None:
+                    cols.append(F.lit(None).cast(f["type"]).alias(f["name"]))
+                elif old["type"] != f["type"]:
+                    cols.append(F.col(old["name"]).cast(f["type"]).alias(f["name"]))
+                else:
+                    cols.append(F.col(old["name"]).alias(f["name"]))
+            if with_bucket_col:
+                # every data file lives under .../_bucket=K/ (all writes go
+                # through _write_files), so the bucket id is recoverable
+                # from the path without touching row data
+                df = df.withColumn(
+                    "_bucket",
+                    F.regexp_extract(F.input_file_name(), r"_bucket=(\d+)", 1).cast("int"),
+                )
+                cols.append(F.col("_bucket"))
+            parts.append(df.select(*cols))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    # ---- write path --------------------------------------------------------
+
+    def _write_files(self, df: DataFrame) -> dict[str, list[dict]]:
+        """Write df (must carry ``_bucket``) into new immutable files.
+
+        Returns bucket -> file-entry list.  Parallelism: the incoming
+        partitioning is preserved (one file per (task, bucket) pair via
+        directory partitioning) — callers repartition as appropriate.
+        """
+        out_dir = os.path.join(self.data_dir, uuid.uuid4().hex)
+        df.write.partitionBy("_bucket").mode("overwrite").parquet(out_dir)
+        result: dict[str, list[dict]] = {}
+        sid = self.current_snapshot().schema_id
+        for entry in os.listdir(out_dir):
+            if not entry.startswith("_bucket="):
+                continue
+            b = entry.split("=", 1)[1]
+            bdir = os.path.join(out_dir, entry)
+            for fn in os.listdir(bdir):
+                if fn.endswith(".parquet"):
+                    result.setdefault(b, []).append(
+                        {"path": os.path.join(bdir, fn), "schema_id": sid, "rows": -1}
+                    )
+        return result
+
+    def _with_bucket(self, df: DataFrame) -> DataFrame:
+        if "_bucket" in df.columns:
+            return df
+        return df.withColumn("_bucket", self.bucket_expr())
+
+    def append(
+        self,
+        df: DataFrame,
+        properties_update: dict[str, str] | None = None,
+        base: Snapshot | None = None,
+    ) -> Snapshot:
+        """Append-only commit (new files added to their buckets)."""
+        base = base or self.current_snapshot()
+        new_files = self._write_files(self._with_bucket(df))
+        buckets = {b: list(fs) for b, fs in base.buckets.items()}
+        for b, fs in new_files.items():
+            buckets.setdefault(b, []).extend(fs)
+        return self._commit(base, buckets, properties_update)
+
+    def overwrite_buckets(
+        self,
+        bucket_ids: list[int],
+        df: DataFrame,
+        properties_update: dict[str, str] | None = None,
+        base: Snapshot | None = None,
+    ) -> Snapshot:
+        """Replace the file sets of ``bucket_ids`` with df's data.
+
+        This is the MERGE commit primitive: the CDC planner computes the
+        merged content of only the touched buckets and swaps those file
+        lists; untouched buckets carry over by reference.
+        """
+        base = base or self.current_snapshot()
+        new_files = self._write_files(self._with_bucket(df))
+        touched = {str(b) for b in bucket_ids}
+        if not set(new_files) <= touched:
+            raise ValueError(
+                f"merge wrote rows outside declared buckets: "
+                f"{sorted(set(new_files) - touched)}"
+            )
+        buckets = {
+            b: list(fs) for b, fs in base.buckets.items() if b not in touched
+        }
+        for b, fs in new_files.items():
+            buckets[b] = fs
+        return self._commit(base, buckets, properties_update)
+
+    def set_properties(self, updates: dict[str, str]) -> Snapshot:
+        base = self.current_snapshot()
+        return self._commit(base, base.buckets, updates)
+
+    def _commit(
+        self,
+        base: Snapshot,
+        buckets: dict[str, list[dict]],
+        properties_update: dict[str, str] | None,
+        schema_id: int | None = None,
+        schemas: dict[str, list[dict]] | None = None,
+    ) -> Snapshot:
+        props = dict(base.properties)
+        props.update(properties_update or {})
+        snap = Snapshot(
+            snapshot_id=base.snapshot_id + 1,
+            parent_id=base.snapshot_id,
+            schema_id=schema_id if schema_id is not None else base.schema_id,
+            schemas=schemas or base.schemas,
+            buckets=buckets,
+            properties=props,
+            summary={"n_files": sum(len(v) for v in buckets.values())},
+        )
+        self._write_snapshot(snap)
+        return snap
+
+    # ---- schema evolution ----------------------------------------------------
+
+    def _evolve(self, mutate) -> Snapshot:
+        base = self.current_snapshot()
+        fields = [dict(f) for f in base.schema_fields]
+        fields = mutate(fields)
+        new_sid = max(int(s) for s in base.schemas) + 1
+        schemas = dict(base.schemas)
+        schemas[str(new_sid)] = fields
+        return self._commit(base, base.buckets, None, schema_id=new_sid, schemas=schemas)
+
+    def add_column(self, name: str, spark_type: str) -> Snapshot:
+        def mutate(fields):
+            if any(f["name"] == name for f in fields):
+                raise ValueError(f"column exists: {name}")
+            next_id = max(f["id"] for f in fields) + 1
+            return fields + [{"id": next_id, "name": name, "type": spark_type}]
+
+        return self._evolve(mutate)
+
+    def rename_column(self, old: str, new: str) -> Snapshot:
+        def mutate(fields):
+            hit = [f for f in fields if f["name"] == old]
+            if not hit:
+                raise ValueError(f"no such column: {old}")
+            hit[0]["name"] = new
+            return fields
+
+        return self._evolve(mutate)
+
+    def widen_column(self, name: str, new_type: str) -> Snapshot:
+        def mutate(fields):
+            hit = [f for f in fields if f["name"] == name]
+            if not hit:
+                raise ValueError(f"no such column: {name}")
+            if (hit[0]["type"], new_type) not in _WIDENINGS:
+                raise ValueError(f"not a widening: {hit[0]['type']} -> {new_type}")
+            hit[0]["type"] = new_type
+            return fields
+
+        return self._evolve(mutate)
+
+    # ---- maintenance -----------------------------------------------------------
+
+    def expire_orphan_files(self) -> int:
+        """Delete data files not referenced by the current snapshot.
+
+        (Time-travel across older snapshots is sacrificed; run only when
+        history is no longer needed — mirrors Iceberg's
+        expire_snapshots + remove_orphan_files.)
+        """
+        snap = self.current_snapshot()
+        live = {fi["path"] for fs in snap.buckets.values() for fi in fs}
+        removed = 0
+        for root, _dirs, files in os.walk(self.data_dir):
+            for fn in files:
+                p = os.path.join(root, fn)
+                if p not in live and fn.endswith(".parquet"):
+                    os.remove(p)
+                    removed += 1
+        # drop now-empty dirs
+        for root, dirs, files in list(os.walk(self.data_dir, topdown=False)):
+            if root != self.data_dir and not dirs and not files:
+                shutil.rmtree(root, ignore_errors=True)
+        return removed

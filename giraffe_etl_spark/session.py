@@ -1,0 +1,53 @@
+"""SparkSession factory tuned for the CDC apply workload.
+
+Scale posture (designed for 1000-executor / 100 TB, tested on local[N]):
+- AQE on: runtime coalescing + skew-join splitting.
+- Arrow on: every Python-side transform is an Arrow-batched pandas UDF.
+- shuffle partitions scale with parallelism (caller passes cores).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "giraffe-etl-spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    ``cores=None`` uses ``local[*]``.  ``shuffle_partitions`` defaults to
+    2x cores locally (on a real cluster you would size this to
+    total-cores * 2..3 and let AQE coalesce).
+    """
+    if cores is None:
+        cores_env = os.environ.get("SPARK_GRAFT_CPUS")
+        cores = int(cores_env) if cores_env else (os.cpu_count() or 8)
+    master = f"local[{cores}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = max(2 * cores, 8)
+
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(cores))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()

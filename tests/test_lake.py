@@ -1,0 +1,152 @@
+"""Lake table layer: atomic commits, bucket pruning, schema evolution."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from giraffe_etl_spark.lake import CommitConflict, Table
+
+
+def make_table(spark, root, n_buckets=4):
+    schema = StructType.fromDDL("k string, v long")
+    return Table.create(
+        spark, os.path.join(root, "t"), schema, bucket_key="k", n_buckets=n_buckets
+    )
+
+
+def kv_df(spark, pairs):
+    return spark.createDataFrame(pairs, "k string, v long")
+
+
+def test_create_load_roundtrip(spark, tmp_root):
+    t = make_table(spark, tmp_root)
+    t2 = Table.load(spark, t.path)
+    assert t2.n_buckets() == 4
+    assert t2.bucket_key() == "k"
+    assert t2.read().count() == 0
+
+
+def test_append_and_read(spark, tmp_root):
+    t = make_table(spark, tmp_root)
+    t.append(kv_df(spark, [("a", 1), ("b", 2), ("c", 3)]))
+    got = {(r.k, r.v) for r in t.read().collect()}
+    assert got == {("a", 1), ("b", 2), ("c", 3)}
+
+
+def test_snapshot_isolation(spark, tmp_root):
+    t = make_table(spark, tmp_root)
+    t.append(kv_df(spark, [("a", 1)]))
+    snap1 = t.current_snapshot()
+    t.append(kv_df(spark, [("b", 2)]))
+    # old snapshot still reads old data
+    assert t.read(snap=snap1).count() == 1
+    assert t.read().count() == 2
+
+
+def test_bucket_pruning_reads_only_requested(spark, tmp_root):
+    t = make_table(spark, tmp_root, n_buckets=8)
+    df = spark.range(100).select(
+        F.concat(F.lit("k"), F.col("id")).alias("k"), F.col("id").alias("v")
+    )
+    t.append(df)
+    full = t.read(with_bucket_col=True)
+    one_bucket = [r._bucket for r in full.select("_bucket").distinct().collect()][0]
+    pruned = t.read(buckets=[one_bucket], with_bucket_col=True)
+    assert pruned.count() == full.filter(F.col("_bucket") == one_bucket).count()
+    assert pruned.select("_bucket").distinct().count() == 1
+
+
+def test_overwrite_buckets_swaps_only_touched(spark, tmp_root):
+    t = make_table(spark, tmp_root, n_buckets=4)
+    t.append(kv_df(spark, [(f"k{i}", i) for i in range(20)]))
+    snap = t.current_snapshot()
+    target_bucket = 2
+    keep = t.read(with_bucket_col=True).filter(F.col("_bucket") == target_bucket)
+    replaced = keep.withColumn("v", F.col("v") + 1000)
+    t.overwrite_buckets([target_bucket], replaced, base=snap)
+    after = t.read(with_bucket_col=True)
+    assert (
+        after.filter(F.col("_bucket") == target_bucket)
+        .filter(F.col("v") < 1000)
+        .count()
+        == 0
+    )
+    other_before = (
+        t.read(snap=snap, with_bucket_col=True)
+        .filter(F.col("_bucket") != target_bucket)
+        .count()
+    )
+    assert after.filter(F.col("_bucket") != target_bucket).count() == other_before
+
+
+def test_commit_conflict_detection(spark, tmp_root):
+    t = make_table(spark, tmp_root)
+    base = t.current_snapshot()
+    t.append(kv_df(spark, [("a", 1)]), base=base)
+    with pytest.raises(CommitConflict):
+        t.append(kv_df(spark, [("b", 2)]), base=base)
+
+
+def test_properties_carried_and_updated(spark, tmp_root):
+    t = make_table(spark, tmp_root)
+    t.append(kv_df(spark, [("a", 1)]), properties_update={"stream.x.last": "5"})
+    assert t.properties["stream.x.last"] == "5"
+    t.append(kv_df(spark, [("b", 2)]))
+    assert t.properties["stream.x.last"] == "5"  # carried forward
+
+
+def test_schema_add_column(spark, tmp_root):
+    t = make_table(spark, tmp_root)
+    t.append(kv_df(spark, [("a", 1)]))
+    t.add_column("extra", "int")
+    df = t.read()
+    assert "extra" in df.columns
+    row = df.filter("k = 'a'").first()
+    assert row.extra is None  # old file mapped onto new schema
+
+
+def test_schema_rename_column_by_id(spark, tmp_root):
+    t = make_table(spark, tmp_root)
+    t.append(kv_df(spark, [("a", 7)]))
+    t.rename_column("v", "value")
+    df = t.read()
+    assert "value" in df.columns and "v" not in df.columns
+    assert df.filter("k = 'a'").first().value == 7  # old files resolve by id
+
+
+def test_schema_widen_column(spark, tmp_root):
+    schema = StructType.fromDDL("k string, n int")
+    t = Table.create(
+        spark, os.path.join(tmp_root, "w"), schema, bucket_key="k", n_buckets=2
+    )
+    t.append(spark.createDataFrame([("a", 1)], "k string, n int"))
+    t.widen_column("n", "bigint")
+    df = t.read()
+    assert dict(df.dtypes)["n"] == "bigint"
+    assert df.first().n == 1
+    with pytest.raises(ValueError):
+        t.widen_column("k", "bigint")
+
+
+def test_mixed_schema_files_union(spark, tmp_root):
+    """Files written before AND after evolution read under one schema."""
+    t = make_table(spark, tmp_root)
+    t.append(kv_df(spark, [("old", 1)]))
+    t.rename_column("v", "value")
+    t.add_column("tag", "string")
+    t.append(spark.createDataFrame([("new", 2, "x")], "k string, value long, tag string"))
+    rows = {r.k: (r.value, r.tag) for r in t.read().collect()}
+    assert rows == {"old": (1, None), "new": (2, "x")}
+
+
+def test_expire_orphan_files(spark, tmp_root):
+    t = make_table(spark, tmp_root)
+    t.append(kv_df(spark, [(f"k{i}", i) for i in range(10)]))
+    snap = t.current_snapshot()
+    all_b = [int(b) for b in snap.buckets]
+    t.overwrite_buckets(all_b, t.read(with_bucket_col=True), base=snap)
+    removed = t.expire_orphan_files()
+    assert removed > 0
+    assert t.read().count() == 10  # current snapshot intact
