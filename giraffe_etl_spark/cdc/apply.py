@@ -148,31 +148,55 @@ class CdcApplier:
 
         valid, quarantined = split_quarantine(changes)
 
-        # quarantine route (idempotent via its own batch watermark)
+        # quarantine route (idempotent via its own batch watermark).
+        # One job: the append itself counts rows via parquet footers.
         q_mark = f"stream.{self.stream_id}.last_batch"
         q_last = int(self.quarantine.properties.get(q_mark, "-1"))
         n_quar = 0
         if q_last < batch_id:
             q_df = quarantined.withColumn("batch_id", F.lit(batch_id).cast("long"))
-            n_quar = q_df.count()
-            if n_quar > 0:
-                self.quarantine.append(q_df, {q_mark: str(batch_id)})
-            else:
-                self.quarantine.set_properties({q_mark: str(batch_id)})
+            q_snap = self.quarantine.append(q_df, {q_mark: str(batch_id)})
+            n_quar = sum(
+                fi["rows"]
+                for fs in q_snap.buckets.values()
+                for fi in fs
+            ) - sum(
+                fi["rows"]
+                for fs in self.quarantine.snapshot_at(q_snap.parent_id).buckets.values()
+                for fi in fs
+            )
 
-        canon = canonicalize(valid)
+        # observation: count raw/valid rows during the same job that
+        # materializes the winners (no separate count() action)
+        from pyspark.sql import Observation
+
+        obs_valid = None
         if self.dedup_mode == "window":
+            # window mode re-scans the canon node (hot detection + hot/
+            # cold split), which would fire an Observation repeatedly —
+            # count it directly instead
+            canon = canonicalize(valid)
+            n_valid_direct = canon.count()
             hot = None
             if self.hot_key_threshold:
                 hot = detect_hot_keys(canon, self.hot_key_threshold)
             winners = dedup_winners_window(canon, hot_keys=hot)
         else:
+            obs_valid = Observation()
+            canon = canonicalize(valid.observe(obs_valid, F.count(F.lit(1)).alias("n")))
             winners = dedup_winners(canon)
         staged = transform_winners(winners)
 
-        n_in = changes.count()
         result = self._merge(staged, batch_id, lsn_range)
-        result.rows_in = n_in
+        if obs_valid is None:
+            n_valid = n_valid_direct
+        elif result.rows_winners == 0:
+            # empty batch: no winner rows -> no valid rows; Observation
+            # metrics are unreliable on row-less plans (toPyRow assert)
+            n_valid = 0
+        else:
+            n_valid = int(obs_valid.get["n"])
+        result.rows_in = n_valid + n_quar
         result.rows_quarantined = n_quar
         result.wall_ms = int((time.monotonic() - t0) * 1000)
         self._record_metrics(result)
@@ -199,8 +223,14 @@ class CdcApplier:
         src = staged.withColumn("_bucket", self.pages.bucket_expr("url"))
         src = src.persist()
         try:
-            touched = [r[0] for r in src.select("_bucket").distinct().collect()]
-            n_winners = src.count()
+            # one action: materializes dedup + transforms into the cache
+            # and yields the touched-bucket set for pruning
+            bucket_counts = {
+                r["_bucket"]: r["cnt"]
+                for r in src.groupBy("_bucket").agg(F.count("*").alias("cnt")).collect()
+            }
+            touched = sorted(bucket_counts)
+            n_winners = int(sum(bucket_counts.values()))
 
             target = self.pages.read(snap=snap, buckets=touched, with_bucket_col=True)
 
@@ -266,11 +296,7 @@ class CdcApplier:
             )
 
             ordered_cols = [f["name"] for f in snap.schema_fields] + ["_bucket"]
-            merged = merged.select(*ordered_cols).persist()
-            per_bucket = [
-                (r["_bucket"], r["cnt"])
-                for r in merged.groupBy("_bucket").agg(F.count("*").alias("cnt")).collect()
-            ]
+            merged = merged.select(*ordered_cols)
 
             props = {
                 f"stream.{self.stream_id}.last_batch": str(batch_id),
@@ -278,8 +304,13 @@ class CdcApplier:
             }
             if lsn_range is not None:
                 props[f"stream.{self.stream_id}.last_lsn"] = str(lsn_range[1])
-            self.pages.overwrite_buckets(touched, merged, props, base=snap)
-            merged.unpersist()
+            new_snap = self.pages.overwrite_buckets(touched, merged, props, base=snap)
+            # per-bucket lineage straight from the committed manifest
+            # (parquet footer counts) — no extra Spark job
+            per_bucket = [
+                (int(b), sum(fi["rows"] for fi in new_snap.buckets.get(str(b), [])))
+                for b in touched
+            ]
             return ApplyResult(
                 batch_id=batch_id,
                 rows_winners=n_winners,

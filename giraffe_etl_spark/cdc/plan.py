@@ -61,12 +61,15 @@ def dedup_winners(valid: DataFrame) -> DataFrame:
     """Per-url winning event by max (warc_ts, lsn) — agg formulation.
 
     One shuffle on url, with map-side partial aggregation (skew-proof,
-    see module docstring).  Output columns: CHANGE_COLS.
+    see module docstring).  Schema-generic: whatever columns the change
+    stream carries (e.g. post-evolution extras) ride along in the
+    winner payload.
     """
-    payload = F.struct(*[F.col(c) for c in CHANGE_COLS])
+    cols = valid.columns
+    payload = F.struct(*[F.col(c) for c in cols])
     rank = F.struct(F.col("warc_ts"), F.col("lsn"))
     won = valid.groupBy("url").agg(F.max_by(payload, rank).alias("w"))
-    return won.select(*[F.col(f"w.{c}").alias(c) for c in CHANGE_COLS])
+    return won.select(*[F.col(f"w.{c}").alias(c) for c in cols])
 
 
 def detect_hot_keys(

@@ -276,6 +276,8 @@ class Table:
         partitioning is preserved (one file per (task, bucket) pair via
         directory partitioning) — callers repartition as appropriate.
         """
+        import pyarrow.parquet as pq
+
         out_dir = os.path.join(self.data_dir, uuid.uuid4().hex)
         df.write.partitionBy("_bucket").mode("overwrite").parquet(out_dir)
         result: dict[str, list[dict]] = {}
@@ -287,8 +289,12 @@ class Table:
             bdir = os.path.join(out_dir, entry)
             for fn in os.listdir(bdir):
                 if fn.endswith(".parquet"):
+                    p = os.path.join(bdir, fn)
+                    # row count from the parquet footer: free lineage
+                    # metadata, no extra Spark job
+                    nrows = pq.ParquetFile(p).metadata.num_rows
                     result.setdefault(b, []).append(
-                        {"path": os.path.join(bdir, fn), "schema_id": sid, "rows": -1}
+                        {"path": p, "schema_id": sid, "rows": nrows}
                     )
         return result
 

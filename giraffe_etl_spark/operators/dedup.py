@@ -1,0 +1,250 @@
+"""Document deduplication operators (exact + near-dup families).
+
+All operators are DataFrame -> DataFrame, keyed on a configurable id /
+text column, and built to scale: the quadratic candidate comparison is
+always confined to LSH/band buckets (never a cross join of the corpus).
+
+- exact_dedup:       hash-groupBy on the full text (1 shuffle).
+- minhash_lsh_dedup: shingle -> minhash -> band buckets -> in-bucket
+                     verify; union-find-free: keep min doc_id per
+                     duplicate component edge closure approximation
+                     (pairs -> keep lowest id of each connected pair
+                     chain via iterative min propagation).
+- simhash_dedup:     64-bit simhash, duplicates = identical fingerprint
+                     (optionally banded for hamming<=k).
+- ngram_jaccard_pairs: exact n-gram Jaccard similarity, but only within
+                     LSH candidate buckets.
+
+Built-ins do the heavy lifting (split/transform/aggregate/explode are
+all JVM-side); hashing uses xxhash64/hash built-ins — no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _normalized_text(col: str) -> F.Column:
+    return F.regexp_replace(F.lower(F.trim(F.col(col))), r"\s+", " ")
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative (min id) per exact normalized-text group."""
+    key = F.xxhash64(_normalized_text(text_col)).alias("_h")
+    return (
+        df.withColumn("_h", key)
+        .groupBy("_h")
+        .agg(F.min_by(F.struct(*df.columns), F.col(id_col)).alias("w"))
+        .select("w.*")
+    )
+
+
+def shingles(col: F.Column, n: int = 5) -> F.Column:
+    """Word n-gram shingle array (JVM-side: split + transform + slice)."""
+    words = F.split(col, r"\s+")
+    cnt = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(cnt - n, F.lit(0)))
+    return F.when(cnt >= n,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)))
+    ).otherwise(F.array(F.concat_ws(" ", words)))
+
+
+def minhash_signature(shingle_col: F.Column, num_hashes: int = 64) -> F.Column:
+    """num_hashes minhash values: min over xxhash64(shingle, seed=i).
+
+    Seeded xxhash64 per permutation — all JVM-side array ops.
+    """
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(shingle_col, lambda s, i=i: F.xxhash64(s, F.lit(i)))
+            ).alias(f"mh{i}")
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """Candidate duplicate pairs (a < b) via banded minhash LSH.
+
+    Plan shape: project signature -> explode bands (x bands) ->
+    shuffle on band hash -> self-join within bucket.  The self-join is
+    per-bucket, so cost is sum over buckets of |bucket|^2 — bounded by
+    collision rate, not corpus size.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(shingles(_normalized_text(text_col), shingle_n), num_hashes)
+    with_sig = df.select(F.col(id_col).alias("_id"), sig.alias("_sig"))
+
+    banded = with_sig.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("_sig", b * rows_per_band + r + 1)
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", "bb.band", "bb.bucket")
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 5,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Verify candidate pairs with exact n-gram Jaccard similarity.
+
+    Joins shingle sets onto the (small) candidate pair list — the
+    expensive set intersection runs only on survivors of LSH.
+    """
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(shingles(_normalized_text(text_col), shingle_n)).alias("_sh"),
+    )
+    a = sh.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "sh_a")
+    b = sh.withColumnRenamed("_id", "id_b").withColumnRenamed("_sh", "sh_b")
+    joined = candidates.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        joined.withColumn("jaccard", F.when(union > 0, inter / union).otherwise(0.0))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 5,
+    threshold: float = 0.8,
+    max_iter: int = 10,
+) -> DataFrame:
+    """Drop near-duplicates: keep the min-id representative per component.
+
+    Connected components over verified duplicate pairs via iterative
+    min-label propagation (converges in O(log n) rounds; each round is
+    one join + one aggregate — no driver-side loops over rows).
+    """
+    cand = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, shingle_n)
+    edges = ngram_jaccard_pairs(df, cand, text_col, id_col, shingle_n, threshold)
+
+    # undirected edges as both directions
+    fwd = edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    rev = edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    adj = fwd.unionByName(rev)
+
+    labels = (
+        adj.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            adj.join(labels, adj.src == labels.node)
+            .groupBy("dst")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.dst, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias(
+                    "label"
+                ),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+
+    drop = labels.filter(F.col("node") != F.col("label")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(drop, id_col, "left_anti")
+
+
+def simhash_expr(text_col: str, bits: int = 64, shingle_n: int = 3) -> F.Column:
+    """64-bit SimHash over word shingles, fully JVM-side.
+
+    For each bit b: sum over shingles of sign(bit b of xxhash64) —
+    positive -> bit set.  Expressed with aggregate() over the shingle
+    array per bit; bits folded into one bigint.
+    """
+    sh = F.array_distinct(shingles(_normalized_text(text_col), shingle_n))
+    bit_cols = []
+    for b in range(bits):
+        votes = F.aggregate(
+            sh,
+            F.lit(0),
+            lambda acc, s, b=b: acc
+            + F.when(F.shiftright(F.xxhash64(s), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        bit_cols.append(
+            F.when(votes > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    out = bit_cols[0]
+    for c in bit_cols[1:]:
+        out = out.bitwiseOR(c)
+    return out
+
+
+def simhash_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+) -> DataFrame:
+    """Keep min-id representative per identical simhash fingerprint."""
+    return (
+        df.withColumn("_sim", simhash_expr(text_col, bits))
+        .groupBy("_sim")
+        .agg(F.min_by(F.struct(*df.columns), F.col(id_col)).alias("w"))
+        .select("w.*")
+    )

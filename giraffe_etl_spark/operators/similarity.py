@@ -1,0 +1,218 @@
+"""Similarity search over an embedding column (array<float>).
+
+- brute_force_topk: exact cosine top-k of query vectors against the
+  corpus.  The query set is broadcast (it is small by construction);
+  the corpus is never shuffled — one scan, partial top-k per partition
+  via window-free min_by aggregation... (see plan note below).
+- lsh_topk: random-hyperplane LSH — corpus and queries are bucketed by
+  sign-pattern hash; candidates are compared only within matching
+  buckets (the 100 TB path: shuffle is bounded by bucket collisions).
+- embedding near-dup: pairs of corpus vectors with cosine >= threshold
+  within LSH buckets (dedup by embedding).
+
+Dot products use F.zip_with + F.aggregate — JVM-side, no Python.
+Hyperplanes are deterministic pseudo-random vectors derived from
+xxhash64(dim_index, plane_index) — reproducible across runs with no
+stored model state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _dot(a, b) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a) -> F.Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_col(a, b) -> F.Column:
+    denom = _norm(a) * _norm(b)
+    return F.when(denom > 0, _dot(a, b) / denom).otherwise(F.lit(0.0))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k per query (baseline / oracle path).
+
+    Broadcast the small query set against the corpus scan, compute
+    cosine JVM-side, take top-k per query with a window over the
+    (small) query key space.  One corpus scan, one shuffle of
+    |corpus| x |queries| scored rows reduced map-side by the window's
+    rank filter via partial top-k (AQE handles the rest).
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("_qid"), F.col(vec_col).alias("_qvec")
+        )
+    )
+    scored = corpus.crossJoin(q).select(
+        F.col("_qid").alias(query_id_col),
+        F.col(id_col),
+        cosine_col(F.col(vec_col), F.col("_qvec")).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def _hyperplane_bucket(vec_col: str, n_planes: int, seed: int = 11) -> F.Column:
+    """Sign-pattern bucket id from n_planes deterministic hyperplanes.
+
+    Plane p's component for dimension d is a pseudo-random value in
+    [-1, 1) derived from xxhash64(d, p, seed) — no stored model, fully
+    reproducible, computed inside the JVM.
+    """
+    v = F.col(vec_col)
+    dims = F.size(v)
+    bits = []
+    for p in range(n_planes):
+        comp = F.zip_with(
+            v,
+            F.transform(
+                F.sequence(F.lit(0), dims - 1),
+                lambda d, p=p: (
+                    F.pmod(F.xxhash64(d, F.lit(p), F.lit(seed)), F.lit(2_000_000))
+                    .cast("double")
+                    / F.lit(1_000_000.0)
+                )
+                - F.lit(1.0),
+            ),
+            lambda x, h: x * h,
+        )
+        proj = F.aggregate(comp, F.lit(0.0), lambda acc, x: acc + x)
+        bits.append(F.when(proj >= 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(F.lit(0).cast("long")))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    n_planes: int = 8,
+    n_tables: int = 4,
+) -> DataFrame:
+    """Approximate cosine top-k: hyperplane-LSH candidate generation.
+
+    n_tables independent sign-hash tables; a corpus row is a candidate
+    for a query if they share a bucket in ANY table.  Only candidates
+    are scored.  Recall grows with n_tables; cost is bounded by bucket
+    sizes instead of |corpus| x |queries|.
+    """
+    def bucketed(df, idc):
+        cols = [F.col(idc), F.col(vec_col)]
+        b = df.select(
+            *cols,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("tbl"),
+                            _hyperplane_bucket(vec_col, n_planes, seed=11 + t).alias(
+                                "bkt"
+                            ),
+                        )
+                        for t in range(n_tables)
+                    ]
+                )
+            ).alias("tb"),
+        )
+        return b.select(idc, vec_col, "tb.tbl", "tb.bkt")
+
+    cb = bucketed(corpus, id_col)
+    qb = bucketed(
+        queries.select(F.col(query_id_col), F.col(vec_col)), query_id_col
+    ).withColumnRenamed(vec_col, "_qvec")
+
+    cand = (
+        cb.join(qb, ["tbl", "bkt"])
+        .select(id_col, query_id_col, vec_col, "_qvec")
+        .dropDuplicates([id_col, query_id_col])
+    )
+    scored = cand.select(
+        query_id_col,
+        id_col,
+        cosine_col(F.col(vec_col), F.col("_qvec")).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def embedding_neardup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 12,
+    n_tables: int = 3,
+) -> DataFrame:
+    """Corpus pairs (a<b) with cosine >= threshold, via LSH buckets."""
+    def bucketed(df, seed_base):
+        return df.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_v"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("tbl"),
+                            _hyperplane_bucket(vec_col, n_planes, seed=seed_base + t).alias("bkt"),
+                        )
+                        for t in range(n_tables)
+                    ]
+                )
+            ).alias("tb"),
+        ).select("_id", "_v", "tb.tbl", "tb.bkt")
+
+    b = bucketed(corpus, 31)
+    l, r = b.alias("l"), b.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.tbl") == F.col("r.tbl"))
+            & (F.col("l.bkt") == F.col("r.bkt"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            F.col("l._v").alias("va"),
+            F.col("r._v").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("cosine", cosine_col(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

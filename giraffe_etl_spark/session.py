@@ -9,6 +9,7 @@ Scale posture (designed for 1000-executor / 100 TB, tested on local[N]):
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -50,4 +51,35 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
-    return b.getOrCreate()
+    spark = b.getOrCreate()
+    _ship_package(spark)
+    return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Ship this package to executor Python workers (--py-files analog).
+
+    Builds a zip of giraffe_etl_spark once per session and registers it
+    with addPyFile, so pandas UDFs / mapInPandas closures resolve the
+    package on every worker regardless of the driver's cwd.  On a real
+    cluster this is `spark-submit --py-files engine.zip`; doing it
+    programmatically keeps single-process usage zero-config.
+    """
+    import zipfile
+
+    if getattr(spark, "_giraffe_shipped", False):
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zpath = os.path.join(tempfile.gettempdir(), f"giraffe_etl_spark_{os.getpid()}.zip")
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w") as z:
+            for root, _dirs, files in os.walk(pkg_dir):
+                if "__pycache__" in root:
+                    continue
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(root, fn)
+                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                        z.write(full, rel)
+    spark.sparkContext.addPyFile(zpath)
+    spark._giraffe_shipped = True

@@ -1,0 +1,179 @@
+"""End-to-end CDC apply vs the pandas oracle (FIXTURES.md §5).
+
+Every test replays a deterministic change stream through the full
+distributed path (quarantine -> canonicalize -> dedup -> transforms ->
+MERGE) and compares the final table to ``oracle_apply`` byte-for-byte
+on (url, warc_ts, text, lang) and exactly on html bytes.
+"""
+
+import pandas as pd
+import pytest
+
+from giraffe_etl_spark.cdc import (
+    CdcApplier,
+    ChangeGenConfig,
+    gen_changes,
+    gen_pages,
+    oracle_apply,
+    oracle_quarantine,
+    read_pages,
+    seed_pages,
+)
+
+CHANGES_DDL = "lsn long, op string, url string, warc_ts timestamp, html binary"
+
+
+def spark_changes(spark, pdf):
+    return spark.createDataFrame(pdf, CHANGES_DDL)
+
+
+def final_table(applier):
+    pdf = read_pages(applier.pages).toPandas()
+    return pdf.sort_values("url").reset_index(drop=True)
+
+
+def assert_matches_oracle(applier, pages_pdf, changes_pdf):
+    got = final_table(applier)
+    want = oracle_apply(pages_pdf, changes_pdf).sort_values("url").reset_index(drop=True)
+    assert len(got) == len(want), f"row count {len(got)} != oracle {len(want)}"
+    if len(want) == 0:
+        return
+    pd.testing.assert_series_equal(got["url"], want["url"], check_names=False)
+    pd.testing.assert_series_equal(
+        got["warc_ts"], want["warc_ts"], check_names=False, check_dtype=False
+    )
+    pd.testing.assert_series_equal(got["text"], want["text"], check_names=False)
+    pd.testing.assert_series_equal(got["lang"], want["lang"], check_names=False)
+    for i, (g, w) in enumerate(zip(got["html"], want["html"])):
+        gb = bytes(g) if g is not None else None
+        assert gb == w, f"html bytes differ at row {i} ({got['url'][i]})"
+
+
+@pytest.fixture()
+def applier(spark, tmp_root):
+    return CdcApplier(spark, tmp_root, n_buckets=8)
+
+
+def test_single_batch_apply_matches_oracle(spark, applier):
+    pages = gen_pages(60)
+    cfg = ChangeGenConfig(n_keys=60)
+    changes = gen_changes(300, cfg)
+    seed_pages(applier.pages, spark.createDataFrame(pages))
+    applier.apply_batch(spark_changes(spark, changes), batch_id=0)
+    assert_matches_oracle(applier, pages, changes)
+
+
+def test_multi_batch_apply_matches_oracle(spark, applier):
+    pages = gen_pages(40)
+    cfg = ChangeGenConfig(n_keys=40)
+    changes = gen_changes(400, cfg)
+    seed_pages(applier.pages, spark.createDataFrame(pages))
+    for b, lo in enumerate(range(0, 400, 100)):
+        chunk = changes.iloc[lo : lo + 100]
+        applier.apply_batch(spark_changes(spark, chunk), batch_id=b)
+    assert_matches_oracle(applier, pages, changes)
+
+
+def test_empty_initial_table(spark, applier):
+    cfg = ChangeGenConfig(n_keys=30)
+    changes = gen_changes(200, cfg)
+    empty_pages = gen_pages(0)
+    applier.apply_batch(spark_changes(spark, changes), batch_id=0)
+    assert_matches_oracle(applier, empty_pages, changes)
+
+
+def test_late_delete_does_not_resurrect(spark, applier):
+    """Tombstone semantics: D at ts=10 beats later-arriving I at ts=8."""
+    rows = pd.DataFrame(
+        {
+            "lsn": [1, 2],
+            "op": ["D", "I"],
+            "url": ["http://x.org/a", "http://x.org/a"],
+            "warc_ts": [
+                pd.Timestamp("2024-01-02 00:00:10"),
+                pd.Timestamp("2024-01-02 00:00:08"),
+            ],
+            "html": [None, b"<p>zombie</p>"],
+        }
+    )
+    applier.apply_batch(spark_changes(spark, rows.iloc[[0]]), batch_id=0)
+    applier.apply_batch(spark_changes(spark, rows.iloc[[1]]), batch_id=1)
+    assert final_table(applier).empty
+    assert_matches_oracle(applier, gen_pages(0), rows)
+
+
+def test_equal_warc_ts_lsn_tiebreak(spark, applier):
+    """Exact (url, warc_ts) duplicates: higher lsn wins, also across batches."""
+    ts = pd.Timestamp("2024-01-02 00:00:00")
+    rows = pd.DataFrame(
+        {
+            "lsn": [5, 9],
+            "op": ["I", "U"],
+            "url": ["http://x.org/t", "http://x.org/t"],
+            "warc_ts": [ts, ts],
+            "html": [b"<p>first</p>", b"<p>second</p>"],
+        }
+    )
+    applier.apply_batch(spark_changes(spark, rows.iloc[[1]]), batch_id=0)
+    applier.apply_batch(spark_changes(spark, rows.iloc[[0]]), batch_id=1)
+    got = final_table(applier)
+    # lsn 9 applied in batch 0; lsn 5 (same ts, lower lsn) arrives later
+    # but must NOT overwrite — cross-batch LWW uses the stored _lsn
+    assert got["text"].tolist() == ["second"]
+    assert_matches_oracle(applier, gen_pages(0), rows)
+
+
+def test_quarantine_routing(spark, applier):
+    cfg = ChangeGenConfig(n_keys=30, malformed_frac=0.1)
+    changes = gen_changes(300, cfg)
+    pages = gen_pages(30)
+    seed_pages(applier.pages, spark.createDataFrame(pages))
+    res = applier.apply_batch(spark_changes(spark, changes), batch_id=0)
+    want_bad = oracle_quarantine(changes)
+    assert res.rows_quarantined == len(want_bad)
+    got_bad = applier.quarantine.read().toPandas()
+    assert len(got_bad) == len(want_bad)
+    assert set(got_bad["reason"]) == set(want_bad["reason"])
+    assert_matches_oracle(applier, pages, changes)  # bad rows never applied
+
+
+def test_url_canonicalization_merges_aliases(spark, applier):
+    """Alias urls (www, port 80, index.html) collapse to one canonical key."""
+    rows = pd.DataFrame(
+        {
+            "lsn": [1, 2, 3],
+            "op": ["I", "U", "U"],
+            "url": [
+                "http://www.site.org/a/index.html",
+                "HTTP://site.org:80/a/",
+                "http://site.org/a/b/../",
+            ],
+            "warc_ts": pd.to_datetime(
+                ["2024-01-02 00:00:01", "2024-01-02 00:00:02", "2024-01-02 00:00:03"]
+            ),
+            "html": [b"<p>one</p>", b"<p>two</p>", b"<p>three</p>"],
+        }
+    )
+    applier.apply_batch(spark_changes(spark, rows), batch_id=0)
+    got = final_table(applier)
+    assert got["url"].tolist() == ["http://site.org/a/"]
+    assert got["text"].tolist() == ["three"]
+    assert_matches_oracle(applier, gen_pages(0), rows)
+
+
+def test_window_dedup_mode_matches_agg(spark, tmp_root):
+    cfg = ChangeGenConfig(n_keys=50, hot_frac=0.5, n_hot_keys=3)
+    changes = gen_changes(500, cfg)
+    pages = gen_pages(50)
+    a = CdcApplier(spark, tmp_root + "/agg", n_buckets=8, dedup_mode="agg")
+    w = CdcApplier(
+        spark, tmp_root + "/win", n_buckets=8, dedup_mode="window", hot_key_threshold=20
+    )
+    for ap in (a, w):
+        seed_pages(ap.pages, spark.createDataFrame(pages))
+        ap.apply_batch(spark_changes(spark, changes), batch_id=0)
+    ta, tw = final_table(a), final_table(w)
+    pd.testing.assert_frame_equal(
+        ta.drop(columns=["html"]), tw.drop(columns=["html"])
+    )
+    assert_matches_oracle(a, pages, changes)
