@@ -87,6 +87,106 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY n_name
             ORDER BY revenue DESC, n_name
         """,
+        "q4_order_priority": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders o
+            WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+              AND o_orderdate <  TIMESTAMP '1996-10-01'
+              AND EXISTS (
+                    SELECT 1 FROM lineitem l
+                    WHERE l.l_orderkey = o.o_orderkey
+                      AND l.l_shipdate > o.o_orderdate)
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
+        """,
+        "q6_revenue_delta": """
+            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate <  TIMESTAMP '1998-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24
+        """,
+        "purchase_and_error_users": """
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+            INTERSECT
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+            ORDER BY user_id
+        """,
+        "events_running_total": """
+            SELECT user_id, event_id,
+                   round(sum(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+                       AS running_value
+            FROM events
+            ORDER BY user_id, event_id
+        """,
+        "events_sessionize": """
+            WITH g AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+              SELECT user_id,
+                     sum(new_sess) OVER (
+                         PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS session_id
+              FROM g
+            )
+            SELECT user_id,
+                   CAST(max(session_id) AS BIGINT) AS n_sessions,
+                   round(count(*) / CAST(max(session_id) AS DOUBLE), 4)
+                       AS avg_events_per_session
+            FROM s
+            GROUP BY user_id
+            ORDER BY user_id
+        """,
+        "events_props_topk": """
+            SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+                   count(*) AS n
+            FROM events
+            GROUP BY k
+            ORDER BY n DESC, k
+            LIMIT 20
+        """,
+        "events_rollup_day_type": """
+            SELECT event_type, date_trunc('day', ts) AS day,
+                   count(*) AS n_events, round(sum(value), 2) AS sum_value
+            FROM events
+            GROUP BY ROLLUP (event_type, date_trunc('day', ts))
+            ORDER BY event_type NULLS FIRST, day NULLS FIRST
+        """,
+        "part_price_stats": """
+            SELECT p_brand, count(*) AS n_parts,
+                   round(avg(p_retailprice), 2) AS avg_price,
+                   round(max(p_retailprice) - min(p_retailprice), 2)
+                       AS price_range
+            FROM part
+            GROUP BY p_brand
+            ORDER BY p_brand
+        """,
+        "url_parse_hosts": """
+            WITH u AS (
+              SELECT doc_id,
+                     'http://' || source || '.example.org/docs/' ||
+                     CAST(doc_id AS VARCHAR) || '?b=2&a=1' AS url
+              FROM documents
+            )
+            SELECT regexp_extract(url, 'http://([^/?#]+)', 1) AS host,
+                   count(*) AS n_urls,
+                   min(regexp_extract(url, 'http://[^/?#]+([^?#]*)', 1))
+                       AS min_path,
+                   max(regexp_extract(url, '\\?(.*)$', 1)) AS max_query
+            FROM u
+            GROUP BY host
+            ORDER BY host
+        """,
         "top_customer_per_nation": """
             SELECT n_name, c_custkey, round(c_acctbal, 2) AS acctbal
             FROM (

@@ -1,0 +1,141 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline query pack at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and a
+deterministic CDC replay sized to the scale factor, then prints ONE
+JSON line:
+
+    {"metric": "...", "value": <total-sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": <sf>,
+     "cdc": {"events": N, "events_per_sec": T}}
+
+Scaling-efficiency evidence (north rule: >=0.8 from N to 4N cores) is
+produced by ``scripts/bench_scaling.py`` which reuses
+``run_cdc_bench`` below at two parallelism levels in fresh JVMs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# queries benched at the driver's SF (correctness pack, one run each)
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "top_customer_per_nation",
+    "purchasers_without_errors",
+    "events_latest_per_user",
+    "events_type_rollup",
+    "events_user_daily",
+    "doc_exact_dedup",
+    "doc_token_count",
+    "doc_stats_by_lang",
+    "ann_topk_cosine",
+    "minhash_dedup_documents",
+    "simhash_documents",
+    "embedding_neardup",
+    "lang_tag_documents",
+    "media_features",
+]
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def run_cdc_bench(spark, n_events: int, batch_size: int, n_buckets: int = 32):
+    """Seeded replay of a deterministic skewed change stream.
+
+    Returns (events_applied, apply_wall_sec, replay_wall_sec).
+    Apply-stage wall time is the per-batch measured time inside
+    ``CdcApplier.apply_batch`` (the north-rule throughput stage).
+    """
+    from giraffe_etl_spark.cdc import (
+        CdcApplier,
+        ChangeGenConfig,
+        gen_pages,
+        replay,
+        seed_pages,
+    )
+
+    root = tempfile.mkdtemp(prefix="cdc_bench_")
+    try:
+        n_keys = max(200, n_events // 8)
+        cfg = ChangeGenConfig(
+            n_keys=n_keys, hot_frac=0.2, n_hot_keys=8,
+            late_frac=0.05, dup_frac=0.01, malformed_frac=0.01,
+        )
+        applier = CdcApplier(spark, root, n_buckets=n_buckets)
+        seed_pages(applier.pages, spark.createDataFrame(gen_pages(min(n_keys, 5000))))
+        t0 = time.monotonic()
+        report = replay(applier, spark, n_events=n_events, batch_size=batch_size, cfg=cfg)
+        wall = time.monotonic() - t0
+        return report.events_total, report.wall_ms_total / 1000.0, wall
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def main() -> None:
+    from giraffe_etl_spark.queries import QUERIES
+    from giraffe_etl_spark.session import get_spark
+
+    sf = _sf_of(SF_DIR)
+    spark = get_spark("giraffe-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM / Python worker pool outside the timed region
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = QUERIES[name]
+        t0 = time.monotonic()
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        times[name] = round(time.monotonic() - t0, 3)
+        assert n >= 0
+
+    # CDC replay sized to SF: sf0.1 -> 120k events, sf0.01 -> 12k ...
+    n_events = max(4000, int(1_200_000 * sf))
+    events, apply_sec, replay_sec = run_cdc_bench(
+        spark, n_events=n_events, batch_size=max(2000, n_events // 6)
+    )
+    times["cdc_replay"] = round(replay_sec, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "query-pack + CDC replay wall time",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+                "cdc": {
+                    "events": events,
+                    "apply_sec": round(apply_sec, 3),
+                    "events_per_sec": round(events / apply_sec, 1) if apply_sec else None,
+                },
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -219,6 +219,23 @@ class CdcApplier:
             if f["name"] not in ("url", "warc_ts", *ENGINE_COLS)
         ]
         col_type = {f["name"]: f["type"] for f in snap.schema_fields}
+        # rename-safe source binding: a target column accepts the batch
+        # column under ANY historical name of the same field id (Iceberg
+        # rename = same id, new name; the change stream / transform
+        # chain keeps producing the original name)
+        name_by_id = {f["name"]: f["id"] for f in snap.schema_fields}
+        hist_names: dict[int, list[str]] = {}
+        for sid in sorted(snap.schemas, key=int, reverse=True):
+            for f in snap.schemas[sid]:
+                names = hist_names.setdefault(f["id"], [])
+                if f["name"] not in names:
+                    names.append(f["name"])
+
+        def src_col(c: str, cols: list[str]):
+            for cand in hist_names.get(name_by_id[c], [c]):
+                if cand in cols:
+                    return F.col(cand)
+            return None
 
         src = staged.withColumn("_bucket", self.pages.bucket_expr("url"))
         src = src.persist()
@@ -242,8 +259,8 @@ class CdcApplier:
                 F.col("_bucket").alias("_bucket"),
                 *[
                     (
-                        F.col(c).cast(col_type[c])
-                        if c in src.columns
+                        sc.cast(col_type[c])
+                        if (sc := src_col(c, src.columns)) is not None
                         else F.lit(None).cast(col_type[c])
                     ).alias(c)
                     for c in payload_cols

@@ -53,12 +53,18 @@ def minhash_signature(shingle_col: F.Column, num_hashes: int = 64) -> F.Column:
     """num_hashes minhash values: min over xxhash64(shingle, seed=i).
 
     Seeded xxhash64 per permutation — all JVM-side array ops.
+
+    NB: the permutation index must be closure-captured through a
+    factory, NOT a lambda default arg — pyspark inspects lambda arity
+    and would bind a default arg as an extra unresolved lambda variable.
     """
+
+    def perm(i: int):
+        return lambda s: F.xxhash64(s, F.lit(i))
+
     return F.array(
         *[
-            F.array_min(
-                F.transform(shingle_col, lambda s, i=i: F.xxhash64(s, F.lit(i)))
-            ).alias(f"mh{i}")
+            F.array_min(F.transform(shingle_col, perm(i))).alias(f"mh{i}")
             for i in range(num_hashes)
         ]
     )
@@ -219,14 +225,16 @@ def simhash_expr(text_col: str, bits: int = 64, shingle_n: int = 3) -> F.Column:
     array per bit; bits folded into one bigint.
     """
     sh = F.array_distinct(shingles(_normalized_text(text_col), shingle_n))
+
+    def voter(b: int):
+        # closure factory, not a lambda default arg (see minhash_signature)
+        return lambda acc, s: acc + F.when(
+            F.shiftright(F.xxhash64(s), b).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
     bit_cols = []
     for b in range(bits):
-        votes = F.aggregate(
-            sh,
-            F.lit(0),
-            lambda acc, s, b=b: acc
-            + F.when(F.shiftright(F.xxhash64(s), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
+        votes = F.aggregate(sh, F.lit(0), voter(b))
         bit_cols.append(
             F.when(votes > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
                 F.lit(0).cast("long")

@@ -83,19 +83,21 @@ def _hyperplane_bucket(vec_col: str, n_planes: int, seed: int = 11) -> F.Column:
     """
     v = F.col(vec_col)
     dims = F.size(v)
+
+    def plane_comp(p: int):
+        # closure factory — a lambda default arg would raise the lambda's
+        # arity and bind p to the array index column (see dedup.py note)
+        return lambda d: (
+            F.pmod(F.xxhash64(d, F.lit(p), F.lit(seed)), F.lit(2_000_000))
+            .cast("double")
+            / F.lit(1_000_000.0)
+        ) - F.lit(1.0)
+
     bits = []
     for p in range(n_planes):
         comp = F.zip_with(
             v,
-            F.transform(
-                F.sequence(F.lit(0), dims - 1),
-                lambda d, p=p: (
-                    F.pmod(F.xxhash64(d, F.lit(p), F.lit(seed)), F.lit(2_000_000))
-                    .cast("double")
-                    / F.lit(1_000_000.0)
-                )
-                - F.lit(1.0),
-            ),
+            F.transform(F.sequence(F.lit(0), dims - 1), plane_comp(p)),
             lambda x, h: x * h,
         )
         proj = F.aggregate(comp, F.lit(0.0), lambda acc, x: acc + x)
@@ -115,6 +117,7 @@ def lsh_topk(
     query_id_col: str = "query_id",
     n_planes: int = 8,
     n_tables: int = 4,
+    multiprobe: bool = True,
 ) -> DataFrame:
     """Approximate cosine top-k: hyperplane-LSH candidate generation.
 
@@ -122,30 +125,35 @@ def lsh_topk(
     for a query if they share a bucket in ANY table.  Only candidates
     are scored.  Recall grows with n_tables; cost is bounded by bucket
     sizes instead of |corpus| x |queries|.
+
+    ``multiprobe``: the *query* side additionally probes every bucket at
+    Hamming distance 1 (each single sign-bit flipped).  This multiplies
+    only the tiny query-side row count by (1 + n_planes) while leaving
+    the corpus-side shuffle untouched — at 100 TB the corpus never
+    fans out, and recall comparable to many extra tables comes for the
+    price of a slightly larger broadcast.
     """
-    def bucketed(df, idc):
+    def bucketed(df, idc, probe: bool):
         cols = [F.col(idc), F.col(vec_col)]
-        b = df.select(
-            *cols,
-            F.explode(
-                F.array(
-                    *[
+        variants = []
+        for t in range(n_tables):
+            bkt = _hyperplane_bucket(vec_col, n_planes, seed=11 + t)
+            variants.append(F.struct(F.lit(t).alias("tbl"), bkt.alias("bkt")))
+            if probe:
+                for p in range(n_planes):
+                    variants.append(
                         F.struct(
                             F.lit(t).alias("tbl"),
-                            _hyperplane_bucket(vec_col, n_planes, seed=11 + t).alias(
-                                "bkt"
-                            ),
+                            bkt.bitwiseXOR(F.lit(1 << p).cast("long")).alias("bkt"),
                         )
-                        for t in range(n_tables)
-                    ]
-                )
-            ).alias("tb"),
-        )
+                    )
+        b = df.select(*cols, F.explode(F.array(*variants)).alias("tb"))
         return b.select(idc, vec_col, "tb.tbl", "tb.bkt")
 
-    cb = bucketed(corpus, id_col)
+    cb = bucketed(corpus, id_col, probe=False)
     qb = bucketed(
-        queries.select(F.col(query_id_col), F.col(vec_col)), query_id_col
+        queries.select(F.col(query_id_col), F.col(vec_col)), query_id_col,
+        probe=multiprobe,
     ).withColumnRenamed(vec_col, "_qvec")
 
     cand = (

@@ -42,11 +42,13 @@ def token_count_expr(text_col: str) -> F.Column:
 
     Equivalent to functions.text.token_count (regex \w+|[^\w\s]) so the
     DuckDB oracle can reproduce it with regexp_matches-based counting.
+    (?U) makes Java's \w/\s Unicode-aware like Python's re module.
     """
     return F.size(
         F.filter(
             F.split(
-                F.regexp_replace(F.col(text_col), r"([^\w\s])", r" $1 "), r"\s+"
+                F.regexp_replace(F.col(text_col), r"(?U)([^\w\s])", r" $1 "),
+                r"(?U)\s+",
             ),
             lambda t: t != "",
         )

@@ -120,6 +120,45 @@ def top_customer_per_nation(spark, sf_dir):
     )
 
 
+def q6_revenue_delta(spark, sf_dir):
+    """Pure filter + global agg — predicate pushdown to the parquet scan."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q4_order_priority(spark, sf_dir):
+    """EXISTS semi-join: orders with at least one late-shipped lineitem."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01"))
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    late = o.join(
+        l,
+        (o.o_orderkey == l.l_orderkey) & (l.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
 def purchasers_without_errors(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     buyers = e.filter(F.col("event_type") == "purchase").select("user_id").distinct()
@@ -146,6 +185,138 @@ def events_latest_per_user(spark, sf_dir):
         F.col("w.event_type").alias("event_type"),
         F.round(F.col("w.value"), 4).alias("value"),
     ).orderBy("user_id")
+
+
+def purchase_and_error_users(spark, sf_dir):
+    """INTERSECT set op (complement of purchasers_without_errors)."""
+    e = _t(spark, sf_dir, "events")
+    buyers = e.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    erroring = e.filter(F.col("event_type") == "error").select("user_id").distinct()
+    return buyers.intersect(erroring).orderBy("user_id")
+
+
+def events_running_total(spark, sf_dir):
+    """Cumulative frame-spec window: running sum of value per user.
+
+    Deterministic FP: both engines accumulate in the same (ts,
+    event_id) order, so rounded values match exactly.
+    """
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(w), 4).alias("running_value"),
+    ).orderBy("user_id", "event_id")
+
+
+def events_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity) via lag + running sum.
+
+    The giraffe analog is nothing — this is the training-pipeline
+    sessionizer every clickstream system needs; one shuffle on user_id,
+    both window stages reuse that partitioning.
+    """
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = e.withColumn("_new", new_sess).withColumn(
+        "session_id",
+        F.sum("_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        sess.groupBy("user_id")
+        .agg(
+            F.max("session_id").alias("n_sessions"),
+            F.round(
+                F.count(F.lit(1)) / F.max("session_id"), 4
+            ).alias("avg_events_per_session"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def events_props_topk(spark, sf_dir):
+    """JSON extraction from the props column + top-k by frequency."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.select(k.alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("k"))
+        .limit(20)
+    )
+
+
+def events_rollup_day_type(spark, sf_dir):
+    """ROLLUP grouping-sets: (type, day), (type), () subtotals."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.rollup("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy(
+            F.col("event_type").asc_nulls_first(), F.col("day").asc_nulls_first()
+        )
+    )
+
+
+def part_price_stats(spark, sf_dir):
+    e = _t(spark, sf_dir, "part")
+    return (
+        e.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.avg("p_retailprice"), 2).alias("avg_price"),
+            F.round(F.max("p_retailprice") - F.min("p_retailprice"), 2).alias(
+                "price_range"
+            ),
+        )
+        .orderBy("p_brand")
+    )
+
+
+def url_parse_hosts(spark, sf_dir):
+    """URL decomposition via built-ins (giraffe URLComponents analog).
+
+    Synthesizes deterministic URLs from the documents table, then
+    extracts host/path with parse_url — JVM-side, no UDF.  Cited
+    reference behavior: URLComponents.java:106-196 (parse), semantics
+    only.
+    """
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("http://"),
+        F.col("source"),
+        F.lit(".example.org/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?b=2&a=1"),
+    )
+    u = d.select(F.col("doc_id"), url.alias("url"))
+    return (
+        u.select(
+            F.parse_url("url", F.lit("HOST")).alias("host"),
+            F.parse_url("url", F.lit("PATH")).alias("path"),
+            F.parse_url("url", F.lit("QUERY")).alias("query"),
+        )
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.min("path").alias("min_path"),
+            F.max("query").alias("max_query"),
+        )
+        .orderBy("host")
+    )
 
 
 def events_type_rollup(spark, sf_dir):
@@ -320,7 +491,16 @@ def media_features(spark, sf_dir):
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
+    "q4_order_priority": q4_order_priority,
     "q5_region_revenue": q5_region_revenue,
+    "q6_revenue_delta": q6_revenue_delta,
+    "purchase_and_error_users": purchase_and_error_users,
+    "events_running_total": events_running_total,
+    "events_sessionize": events_sessionize,
+    "events_props_topk": events_props_topk,
+    "events_rollup_day_type": events_rollup_day_type,
+    "part_price_stats": part_price_stats,
+    "url_parse_hosts": url_parse_hosts,
     "top_customer_per_nation": top_customer_per_nation,
     "purchasers_without_errors": purchasers_without_errors,
     "events_latest_per_user": events_latest_per_user,
