@@ -269,8 +269,18 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY cosine DESC, vec_id
             LIMIT 10
         """,
+        "embedding_neardup": """
+            SELECT vec_id AS id_a,
+                   vec_id + 100000 AS id_b,
+                   round(list_cosine_similarity(
+                       CAST(embedding AS DOUBLE[]),
+                       CAST(embedding AS DOUBLE[])), 4) AS cosine
+            FROM embeddings
+            WHERE vec_id < 10
+            ORDER BY id_a, id_b
+        """,
         # cdc_replay_synthetic, minhash_dedup_documents, simhash_documents,
-        # embedding_neardup, lang_tag_documents, media_features: custom
-        # engine semantics (lake MERGE / xxhash64 LSH / pandas UDF chain)
-        # not expressible in DuckDB SQL -> rows-only check by design.
+        # lang_tag_documents, media_features: custom engine semantics
+        # (lake MERGE / xxhash64 LSH / pandas UDF chain) not expressible
+        # in DuckDB SQL -> rows-only check by design.
     }

@@ -175,46 +175,55 @@ def minhash_lsh_dedup(
     cand = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, shingle_n)
     edges = ngram_jaccard_pairs(df, cand, text_col, id_col, shingle_n, threshold)
 
-    # undirected edges as both directions
+    # undirected edges as both directions; materialize ONCE — the loop
+    # below must not re-run LSH + Jaccard verification per iteration
     fwd = edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     rev = edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
-    adj = fwd.unionByName(rev)
+    adj = fwd.unionByName(rev).persist()
 
     labels = (
         adj.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
+        .localCheckpoint()  # truncate lineage at the loop entry
     )
-    for _ in range(max_iter):
-        neighbor_min = (
-            adj.join(labels, adj.src == labels.node)
-            .groupBy("dst")
-            .agg(F.min("label").alias("nmin"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.dst, "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias(
-                    "label"
-                ),
+    try:
+        for _ in range(max_iter):
+            neighbor_min = (
+                adj.join(labels, adj.src == labels.node)
+                .groupBy("dst")
+                .agg(F.min("label").alias("nmin"))
             )
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+            # localCheckpoint materializes the iteration AND truncates
+            # lineage (otherwise the plan doubles per round); on a real
+            # cluster use checkpoint() on reliable storage instead
+            new_labels = (
+                labels.join(neighbor_min, labels.node == neighbor_min.dst, "left")
+                .select(
+                    "node",
+                    F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias(
+                        "label"
+                    ),
+                )
+                .localCheckpoint()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .limit(1)
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
 
-    drop = labels.filter(F.col("node") != F.col("label")).select(
-        F.col("node").alias(id_col)
-    )
-    return df.join(drop, id_col, "left_anti")
+        drop = labels.filter(F.col("node") != F.col("label")).select(
+            F.col("node").alias(id_col)
+        )
+        return df.join(drop, id_col, "left_anti")
+    finally:
+        adj.unpersist()
 
 
 def simhash_expr(text_col: str, bits: int = 64, shingle_n: int = 3) -> F.Column:

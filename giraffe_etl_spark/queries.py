@@ -459,12 +459,25 @@ def simhash_documents(spark, sf_dir):
 
 
 def embedding_neardup(spark, sf_dir):
+    """Near-duplicate detection by embedding cosine, via LSH buckets.
+
+    The driver's embeddings table has no organic near-dups (max pair
+    cosine ~0.6 at sf0.01/0.1), so the query plants exact duplicates
+    of vec_id < 10 under vec_id + 100000 and must find exactly those
+    pairs — identical vectors share every LSH bucket, making recall
+    deterministic and the result oracle-checkable.
+    """
     from .operators.similarity import embedding_neardup_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
-    return embedding_neardup_pairs(emb, threshold=0.95, n_planes=8, n_tables=4).orderBy(
-        "id_a", "id_b"
+    dups = emb.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
     )
+    corpus = emb.unionByName(dups)
+    pairs = embedding_neardup_pairs(corpus, threshold=0.95, n_planes=8, n_tables=4)
+    return pairs.select(
+        "id_a", "id_b", F.round(F.col("cosine"), 4).alias("cosine")
+    ).orderBy("id_a", "id_b")
 
 
 def lang_tag_documents(spark, sf_dir):
