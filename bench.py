@@ -32,12 +32,21 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_shipping_priority",
+    "q4_order_priority",
     "q5_region_revenue",
+    "q6_revenue_delta",
     "top_customer_per_nation",
     "purchasers_without_errors",
+    "purchase_and_error_users",
     "events_latest_per_user",
     "events_type_rollup",
     "events_user_daily",
+    "events_running_total",
+    "events_sessionize",
+    "events_props_topk",
+    "events_rollup_day_type",
+    "part_price_stats",
+    "url_parse_hosts",
     "doc_exact_dedup",
     "doc_token_count",
     "doc_stats_by_lang",
@@ -58,7 +67,9 @@ def _sf_of(sf_dir: str) -> float:
         return 0.1
 
 
-def run_cdc_bench(spark, n_events: int, batch_size: int, n_buckets: int = 32):
+def run_cdc_bench(
+    spark, n_events: int, batch_size: int, n_buckets: int = 32, html_size: int = 256
+):
     """Seeded replay of a deterministic skewed change stream.
 
     Returns (events_applied, apply_wall_sec, replay_wall_sec).
@@ -79,6 +90,7 @@ def run_cdc_bench(spark, n_events: int, batch_size: int, n_buckets: int = 32):
         cfg = ChangeGenConfig(
             n_keys=n_keys, hot_frac=0.2, n_hot_keys=8,
             late_frac=0.05, dup_frac=0.01, malformed_frac=0.01,
+            html_size=html_size,
         )
         applier = CdcApplier(spark, root, n_buckets=n_buckets)
         seed_pages(applier.pages, spark.createDataFrame(gen_pages(min(n_keys, 5000))))
@@ -98,8 +110,18 @@ def main() -> None:
     spark = get_spark("giraffe-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm the JVM / Python worker pool outside the timed region
-    spark.range(1000).selectExpr("sum(id)").collect()
+    # warm the JVM AND the Python worker pool outside the timed region
+    # (32 cold Arrow workers importing pandas cost ~20 s the first time)
+    from pyspark.sql import functions as F
+    import pandas as pd
+
+    @F.pandas_udf("long")
+    def _warm(s: pd.Series) -> pd.Series:
+        return s
+
+    spark.range(0, 1000, 1, spark.sparkContext.defaultParallelism).select(
+        F.sum(_warm("id"))
+    ).collect()
 
     times: dict[str, float] = {}
     for name in BENCH_QUERIES:

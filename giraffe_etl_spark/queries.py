@@ -442,10 +442,18 @@ def cdc_replay_synthetic(spark, sf_dir):
 
 
 def minhash_dedup_documents(spark, sf_dir):
+    """MinHash+LSH near-dup removal over documents.
+
+    Banding picks the LSH s-curve: with 32 hashes in 4 bands of 8
+    rows the candidate threshold is (1/4)^(1/8) ~ 0.84, so random
+    pairs (Jaccard ~0.1) almost never collide and the exact-Jaccard
+    verifier only sees real near-dups.  (16 bands of 2 would put the
+    curve at ~0.25 and flood the verifier with n^2 candidates.)
+    """
     from .operators.dedup import minhash_lsh_dedup
 
     d = _t(spark, sf_dir, "documents")
-    kept = minhash_lsh_dedup(d, num_hashes=32, bands=16, shingle_n=3, threshold=0.7)
+    kept = minhash_lsh_dedup(d, num_hashes=32, bands=4, shingle_n=3, threshold=0.7)
     return kept.select("doc_id", "lang", "source").orderBy("doc_id")
 
 

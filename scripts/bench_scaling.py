@@ -25,7 +25,7 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_level(cores: int, events: int, batch: int) -> dict:
+def run_level(cores: int, events: int, batch: int, html_size: int) -> dict:
     """Run the replay at one parallelism level in a fresh JVM."""
     code = f"""
 import json, sys
@@ -35,7 +35,8 @@ from bench import run_cdc_bench
 spark = get_spark("scaling-{cores}", cores={cores})
 spark.sparkContext.setLogLevel("ERROR")
 spark.range(1000).selectExpr("sum(id)").collect()
-ev, apply_sec, wall = run_cdc_bench(spark, n_events={events}, batch_size={batch})
+ev, apply_sec, wall = run_cdc_bench(
+    spark, n_events={events}, batch_size={batch}, html_size={html_size})
 print("RESULT " + json.dumps({{"cores": {cores}, "events": ev,
     "apply_sec": apply_sec, "wall_sec": wall}}))
 spark.stop()
@@ -52,13 +53,19 @@ spark.stop()
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=8, help="base parallelism N (runs N and 4N)")
-    ap.add_argument("--events", type=int, default=120_000)
+    ap.add_argument("--events", type=int, default=400_000)
+    ap.add_argument(
+        "--html-size", type=int, default=1024,
+        help="html payload bytes; larger = more transform compute per event "
+        "(the production workload is compute-dominated; tiny payloads would "
+        "measure fixed per-batch driver overhead instead of scaling)",
+    )
     ap.add_argument("--no-write", action="store_true")
     args = ap.parse_args()
 
-    batch = max(2000, args.events // 6)
-    lo = run_level(args.n, args.events, batch)
-    hi = run_level(4 * args.n, args.events, batch)
+    batch = max(2000, args.events // 4)
+    lo = run_level(args.n, args.events, batch, args.html_size)
+    hi = run_level(4 * args.n, args.events, batch, args.html_size)
 
     tput_lo = lo["events"] / lo["apply_sec"]
     tput_hi = hi["events"] / hi["apply_sec"]
