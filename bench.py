@@ -59,6 +59,26 @@ BENCH_QUERIES = [
 ]
 
 
+def _warm_python_workers(spark) -> None:
+    """Start the Arrow Python worker pool before any timed region.
+
+    Cold workers import pandas/pyarrow (~2-3 s each; ~20 s wall when 32
+    start at once under CPU contention) — an environment cost, not an
+    operator cost.
+    """
+    from pyspark.sql import functions as F
+
+    # no type hints: `from __future__ import annotations` stringifies
+    # them and pandas_udf's hint inference rejects string signatures
+    def _identity(s):
+        return s
+
+    warm = F.pandas_udf(_identity, "long")
+    spark.range(0, 1000, 1, spark.sparkContext.defaultParallelism).select(
+        F.sum(warm("id"))
+    ).collect()
+
+
 def _sf_of(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
     try:
@@ -84,6 +104,7 @@ def run_cdc_bench(
         seed_pages,
     )
 
+    _warm_python_workers(spark)
     root = tempfile.mkdtemp(prefix="cdc_bench_")
     try:
         n_keys = max(200, n_events // 8)
@@ -97,6 +118,12 @@ def run_cdc_bench(
         t0 = time.monotonic()
         report = replay(applier, spark, n_events=n_events, batch_size=batch_size, cfg=cfg)
         wall = time.monotonic() - t0
+        if os.environ.get("SPARK_GRAFT_DEBUG"):
+            for b in report.batches:
+                print(
+                    f"DEBUG batch={b.batch_id} wall_ms={b.wall_ms} "
+                    f"phases={b.phase_ms}", file=sys.stderr
+                )
         return report.events_total, report.wall_ms_total / 1000.0, wall
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -111,17 +138,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # warm the JVM AND the Python worker pool outside the timed region
-    # (32 cold Arrow workers importing pandas cost ~20 s the first time)
-    from pyspark.sql import functions as F
-    import pandas as pd
-
-    @F.pandas_udf("long")
-    def _warm(s: pd.Series) -> pd.Series:
-        return s
-
-    spark.range(0, 1000, 1, spark.sparkContext.defaultParallelism).select(
-        F.sum(_warm("id"))
-    ).collect()
+    _warm_python_workers(spark)
 
     times: dict[str, float] = {}
     for name in BENCH_QUERIES:

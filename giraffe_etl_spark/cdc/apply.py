@@ -35,6 +35,7 @@ from ..lake import Table
 from .plan import (
     canonicalize,
     dedup_winners,
+    dedup_winners_rank_join,
     dedup_winners_window,
     detect_hot_keys,
     split_quarantine,
@@ -94,6 +95,7 @@ class ApplyResult:
     buckets_touched: int = 0
     wall_ms: int = 0
     per_bucket: list = field(default_factory=list)  # (bucket, rows_applied)
+    phase_ms: dict = field(default_factory=dict)  # stage -> wall ms
 
 
 class CdcApplier:
@@ -105,14 +107,16 @@ class CdcApplier:
         root: str,
         n_buckets: int = 32,
         stream_id: str = "default",
-        dedup_mode: str = "agg",
+        dedup_mode: str = "window",
         hot_key_threshold: int | None = None,
+        url_mode: str = "expr",
     ):
         self.spark = spark
         self.root = root
         self.stream_id = stream_id
         self.dedup_mode = dedup_mode
         self.hot_key_threshold = hot_key_threshold
+        self.url_mode = url_mode
         pages_path = os.path.join(root, "pages")
         if Table.exists(pages_path):
             self.pages = Table.load(spark, pages_path)
@@ -146,64 +150,69 @@ class CdcApplier:
             # exactly-once guard: replayed batch is a committed no-op
             return ApplyResult(batch_id=batch_id, skipped=True)
 
-        valid, quarantined = split_quarantine(changes)
+        phases: dict[str, int] = {}
+        # materialize the raw batch ONCE: quarantine routing, dedup
+        # ranks, and the winner join all re-scan it from cache instead
+        # of re-reading (or re-generating) the source per action
+        changes = changes.persist()
+        try:
+            t_q = time.monotonic()
+            n_changes = changes.count()  # fills the cache
+            valid, quarantined = split_quarantine(changes)
 
-        # quarantine route (idempotent via its own batch watermark).
-        # One job: the append itself counts rows via parquet footers.
-        q_mark = f"stream.{self.stream_id}.last_batch"
-        q_last = int(self.quarantine.properties.get(q_mark, "-1"))
-        n_quar = 0
-        if q_last < batch_id:
-            q_df = quarantined.withColumn("batch_id", F.lit(batch_id).cast("long"))
-            q_snap = self.quarantine.append(q_df, {q_mark: str(batch_id)})
-            n_quar = sum(
-                fi["rows"]
-                for fs in q_snap.buckets.values()
-                for fi in fs
-            ) - sum(
-                fi["rows"]
-                for fs in self.quarantine.snapshot_at(q_snap.parent_id).buckets.values()
-                for fi in fs
+            # quarantine route (idempotent via its own batch watermark).
+            # One job: the append itself counts rows via parquet footers.
+            q_mark = f"stream.{self.stream_id}.last_batch"
+            q_last = int(self.quarantine.properties.get(q_mark, "-1"))
+            n_quar = 0
+            if q_last < batch_id:
+                q_df = quarantined.withColumn("batch_id", F.lit(batch_id).cast("long"))
+                q_snap = self.quarantine.append(q_df, {q_mark: str(batch_id)})
+                n_quar = sum(
+                    fi["rows"]
+                    for fs in q_snap.buckets.values()
+                    for fi in fs
+                ) - sum(
+                    fi["rows"]
+                    for fs in self.quarantine.snapshot_at(q_snap.parent_id).buckets.values()
+                    for fi in fs
+                )
+            phases["quarantine"] = int((time.monotonic() - t_q) * 1000)
+
+            canon = canonicalize(valid, mode=self.url_mode)
+            if self.dedup_mode == "window":
+                hot = None
+                if self.hot_key_threshold:
+                    hot = detect_hot_keys(canon, self.hot_key_threshold)
+                winners = dedup_winners_window(canon, hot_keys=hot)
+            elif self.dedup_mode == "agg":
+                winners = dedup_winners(canon)
+            else:  # "rank_join" default: payload never shuffles pre-merge
+                winners = dedup_winners_rank_join(canon)
+            staged = transform_winners(winners)
+
+            result = self._merge(
+                staged, batch_id, lsn_range, phases,
+                canon_keys=canon.select("url", "warc_ts", "lsn"),
             )
-
-        # observation: count raw/valid rows during the same job that
-        # materializes the winners (no separate count() action)
-        from pyspark.sql import Observation
-
-        obs_valid = None
-        if self.dedup_mode == "window":
-            # window mode re-scans the canon node (hot detection + hot/
-            # cold split), which would fire an Observation repeatedly —
-            # count it directly instead
-            canon = canonicalize(valid)
-            n_valid_direct = canon.count()
-            hot = None
-            if self.hot_key_threshold:
-                hot = detect_hot_keys(canon, self.hot_key_threshold)
-            winners = dedup_winners_window(canon, hot_keys=hot)
-        else:
-            obs_valid = Observation()
-            canon = canonicalize(valid.observe(obs_valid, F.count(F.lit(1)).alias("n")))
-            winners = dedup_winners(canon)
-        staged = transform_winners(winners)
-
-        result = self._merge(staged, batch_id, lsn_range)
-        if obs_valid is None:
-            n_valid = n_valid_direct
-        elif result.rows_winners == 0:
-            # empty batch: no winner rows -> no valid rows; Observation
-            # metrics are unreliable on row-less plans (toPyRow assert)
-            n_valid = 0
-        else:
-            n_valid = int(obs_valid.get["n"])
-        result.rows_in = n_valid + n_quar
-        result.rows_quarantined = n_quar
-        result.wall_ms = int((time.monotonic() - t0) * 1000)
-        self._record_metrics(result)
-        return result
+            result.rows_in = n_changes
+            result.rows_quarantined = n_quar
+            t_m = time.monotonic()
+            self._record_metrics(result)
+            phases["metrics"] = int((time.monotonic() - t_m) * 1000)
+            result.wall_ms = int((time.monotonic() - t0) * 1000)
+            result.phase_ms = phases
+            return result
+        finally:
+            changes.unpersist()
 
     def _merge(
-        self, staged: DataFrame, batch_id: int, lsn_range: tuple[int, int] | None
+        self,
+        staged: DataFrame,
+        batch_id: int,
+        lsn_range: tuple[int, int] | None,
+        phases: dict | None = None,
+        canon_keys: DataFrame | None = None,
     ) -> ApplyResult:
         """Join winners against only the touched buckets; rewrite those.
 
@@ -211,6 +220,13 @@ class CdcApplier:
         scale AQE picks broadcast when the winner set is small and
         splits skewed partitions otherwise.  Bucket pruning bounds the
         rewrite to touched buckets — the 100 TB survival property.
+
+        ``canon_keys`` (url, warc_ts, lsn of the canonicalized batch)
+        enables the cheap planning path: touched buckets + winner
+        counts come from a keys-only aggregate (no payload, no Python),
+        and the expensive dedup + transform pipeline then runs exactly
+        once, inside the write job — no intermediate persist/collect
+        materialization.
         """
         snap = self.pages.current_snapshot()
         payload_cols = [
@@ -237,15 +253,32 @@ class CdcApplier:
                     return F.col(cand)
             return None
 
+        phases = phases if phases is not None else {}
         src = staged.withColumn("_bucket", self.pages.bucket_expr("url"))
-        src = src.persist()
+        persisted = None
         try:
-            # one action: materializes dedup + transforms into the cache
-            # and yields the touched-bucket set for pruning
-            bucket_counts = {
-                r["_bucket"]: r["cnt"]
-                for r in src.groupBy("_bucket").agg(F.count("*").alias("cnt")).collect()
-            }
+            t_s = time.monotonic()
+            if canon_keys is not None:
+                # keys-only planning job: distinct winner keys per bucket
+                bucket_counts = {
+                    r["_bucket"]: r["cnt"]
+                    for r in canon_keys.select(
+                        self.pages.bucket_expr("url").alias("_bucket"), "url"
+                    )
+                    .groupBy("_bucket")
+                    .agg(F.countDistinct("url").alias("cnt"))
+                    .collect()
+                }
+            else:
+                # fallback: materialize the staged winners to count them
+                persisted = src = src.persist()
+                bucket_counts = {
+                    r["_bucket"]: r["cnt"]
+                    for r in src.groupBy("_bucket")
+                    .agg(F.count("*").alias("cnt"))
+                    .collect()
+                }
+            phases["stage_winners"] = int((time.monotonic() - t_s) * 1000)
             touched = sorted(bucket_counts)
             n_winners = int(sum(bucket_counts.values()))
 
@@ -321,7 +354,9 @@ class CdcApplier:
             }
             if lsn_range is not None:
                 props[f"stream.{self.stream_id}.last_lsn"] = str(lsn_range[1])
+            t_w = time.monotonic()
             new_snap = self.pages.overwrite_buckets(touched, merged, props, base=snap)
+            phases["merge_write"] = int((time.monotonic() - t_w) * 1000)
             # per-bucket lineage straight from the committed manifest
             # (parquet footer counts) — no extra Spark job
             per_bucket = [
@@ -335,9 +370,12 @@ class CdcApplier:
                 per_bucket=sorted(per_bucket),
             )
         finally:
-            src.unpersist()
+            if persisted is not None:
+                persisted.unpersist()
 
     def _record_metrics(self, res: ApplyResult) -> None:
+        import pandas as pd
+
         mark = f"stream.{self.stream_id}.last_batch"
         if int(self.metrics.properties.get(mark, "-1")) >= res.batch_id:
             return
@@ -349,8 +387,12 @@ class CdcApplier:
             (self.stream_id, res.batch_id, "applied", int(b), int(n), None)
             for b, n in res.per_bucket
         ]
-        df = self.spark.createDataFrame(rows, StructType.fromDDL(METRICS_SCHEMA))
-        self.metrics.append(df, {mark: str(res.batch_id)})
+        pdf = pd.DataFrame(
+            rows,
+            columns=["stream_id", "batch_id", "stage", "bucket", "rows", "wall_ms"],
+        )
+        # metadata-scale rows: driver-side parquet append, no Spark job
+        self.metrics.append_local(pdf, {mark: str(res.batch_id)})
 
     # ---- maintenance ---------------------------------------------------------
 

@@ -52,9 +52,21 @@ def split_quarantine(changes: DataFrame) -> tuple[DataFrame, DataFrame]:
     return valid, quarantined
 
 
-def canonicalize(valid: DataFrame) -> DataFrame:
-    """Replace url with its canonical (normalized) form — the CDC key."""
-    return valid.withColumn("url", normalize_url_udf(F.col("url")))
+def canonicalize(valid: DataFrame, mode: str = "expr") -> DataFrame:
+    """Replace url with its canonical (normalized) form — the CDC key.
+
+    ``expr`` (default): JVM Catalyst expression — stays inside
+    whole-stage codegen; the alternative pandas UDF costs a full Arrow
+    round trip of the change batch (html included) through Python
+    *before* the key shuffle (~4 s per 100 MB batch, measured).
+    ``udf``: full urllib semantics for URLs outside the expression's
+    simple grammar (see functions/url_expr.py parity contract).
+    """
+    if mode == "udf":
+        return valid.withColumn("url", normalize_url_udf(F.col("url")))
+    from ..functions.url_expr import normalize_url_expr
+
+    return valid.withColumn("url", normalize_url_expr(F.col("url")))
 
 
 def dedup_winners(valid: DataFrame) -> DataFrame:
@@ -64,12 +76,49 @@ def dedup_winners(valid: DataFrame) -> DataFrame:
     see module docstring).  Schema-generic: whatever columns the change
     stream carries (e.g. post-evolution extras) ride along in the
     winner payload.
+
+    NOTE: the full payload (html) rides through the shuffle.  Prefer
+    ``dedup_winners_rank_join`` in the apply path — it shuffles only
+    (url, warc_ts, lsn) and fetches winner payloads with a join the
+    optimizer turns into a broadcast, so payload bytes never shuffle.
     """
     cols = valid.columns
     payload = F.struct(*[F.col(c) for c in cols])
     rank = F.struct(F.col("warc_ts"), F.col("lsn"))
     won = valid.groupBy("url").agg(F.max_by(payload, rank).alias("w"))
     return won.select(*[F.col(f"w.{c}").alias(c) for c in cols])
+
+
+def dedup_winners_rank_join(valid: DataFrame) -> DataFrame:
+    """Per-url winner via rank-only shuffle + join-back (payload-free).
+
+    Phase 1 aggregates just ``(url, warc_ts, lsn)`` — a shuffle of a
+    few bytes per event regardless of html size, still map-side
+    combined (skew-proof).  Phase 2 joins the winner ranks back
+    against the un-shuffled batch; the rank side is one small row per
+    distinct key, so AQE picks a broadcast hash join and the payload
+    rows are filtered *in place* in the scan partitions.  Consequences
+    at scale: (a) html bytes cross the network only once (at the
+    MERGE write), (b) the downstream transform UDFs keep the scan's
+    full parallelism instead of AQE-coalesced post-shuffle partitions.
+
+    Requires (warc_ts, lsn) to be unique per url among valid events —
+    lsn is globally unique by contract, so the join returns exactly
+    one row per key.
+    """
+    ranks = valid.groupBy("url").agg(
+        F.max(F.struct("warc_ts", "lsn")).alias("_r")
+    )
+    # explicit aliases: ranks derives from valid, so unqualified column
+    # references would be ambiguous in the self-join
+    v, r = valid.alias("_dw_v"), ranks.alias("_dw_r")
+    winners = v.join(
+        r,
+        (F.col("_dw_v.url") == F.col("_dw_r.url"))
+        & (F.col("_dw_v.warc_ts") == F.col("_dw_r._r.warc_ts"))
+        & (F.col("_dw_v.lsn") == F.col("_dw_r._r.lsn")),
+    )
+    return winners.select(*[F.col(f"_dw_v.{c}").alias(c) for c in valid.columns])
 
 
 def detect_hot_keys(

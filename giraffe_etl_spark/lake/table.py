@@ -272,14 +272,19 @@ class Table:
     def _write_files(self, df: DataFrame) -> dict[str, list[dict]]:
         """Write df (must carry ``_bucket``) into new immutable files.
 
-        Returns bucket -> file-entry list.  Parallelism: the incoming
-        partitioning is preserved (one file per (task, bucket) pair via
-        directory partitioning) — callers repartition as appropriate.
+        Returns bucket -> file-entry list.  The data is clustered on
+        ``_bucket`` before writing so each bucket lands in ONE file per
+        commit: without this, every (task x bucket) pair emits its own
+        small file — hundreds per commit — and both the driver-side
+        footer reads here and every later scan of the bucket pay for
+        the fragmentation.  (Iceberg analog: write.distribution-mode =
+        hash on the bucket transform.)
         """
         import pyarrow.parquet as pq
 
         out_dir = os.path.join(self.data_dir, uuid.uuid4().hex)
-        df.write.partitionBy("_bucket").mode("overwrite").parquet(out_dir)
+        clustered = df.repartition(self.n_buckets(), F.col("_bucket"))
+        clustered.write.partitionBy("_bucket").mode("overwrite").parquet(out_dir)
         result: dict[str, list[dict]] = {}
         sid = self.current_snapshot().schema_id
         for entry in os.listdir(out_dir):
@@ -315,6 +320,54 @@ class Table:
         buckets = {b: list(fs) for b, fs in base.buckets.items()}
         for b, fs in new_files.items():
             buckets.setdefault(b, []).extend(fs)
+        return self._commit(base, buckets, properties_update)
+
+    def append_local(
+        self,
+        pdf,
+        properties_update: dict[str, str] | None = None,
+        base: Snapshot | None = None,
+    ) -> Snapshot:
+        """Driver-side append of a SMALL pandas DataFrame (no Spark job).
+
+        For metadata-scale rows (per-batch metrics/lineage): a Spark
+        write for a handful of rows costs a full job schedule + task
+        launch (seconds under load); writing one parquet file with
+        pyarrow from the driver costs milliseconds.  All rows land in
+        bucket 0 — these tables are scanned whole, never key-pruned.
+        """
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        base = base or self.current_snapshot()
+        fields = base.schema_fields
+        names = [f["name"] for f in fields]
+        _PA = {
+            "string": pa.string(), "bigint": pa.int64(), "int": pa.int32(),
+            "long": pa.int64(), "double": pa.float64(), "float": pa.float32(),
+            "boolean": pa.bool_(), "binary": pa.binary(),
+            "timestamp": pa.timestamp("us", tz="UTC"),
+        }
+        def clean(vals):
+            # pandas stores None as NaN in numeric columns; arrow int
+            # conversion rejects the float nan
+            return [
+                None if v is None or (isinstance(v, float) and v != v) else v
+                for v in vals
+            ]
+
+        arrays = [
+            pa.array(clean(pdf[n].tolist()), type=_PA.get(f["type"], pa.string()))
+            for n, f in zip(names, fields)
+        ]
+        table = pa.Table.from_arrays(arrays, names=names)
+        out_dir = os.path.join(self.data_dir, uuid.uuid4().hex, "_bucket=0")
+        os.makedirs(out_dir)
+        path = os.path.join(out_dir, "part-0.parquet")
+        pq.write_table(table, path)
+        entry = {"path": path, "schema_id": base.schema_id, "rows": len(pdf)}
+        buckets = {b: list(fs) for b, fs in base.buckets.items()}
+        buckets.setdefault("0", []).append(entry)
         return self._commit(base, buckets, properties_update)
 
     def overwrite_buckets(

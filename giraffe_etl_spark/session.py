@@ -40,12 +40,20 @@ def get_spark(
         .config("spark.default.parallelism", str(cores))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE sizes post-shuffle partitions by BYTES; stages that run
+        # pandas UDFs after a shuffle would be coalesced to a handful of
+        # tasks (measured: 9 tasks for a 42 MB winner set) and lose all
+        # Python-side parallelism.  Floor the coalescing at core count.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionNum", str(cores))
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # local mode: the driver JVM hosts every task thread, so heap
+        # must be sized for cores-many concurrent tasks (join buffers +
+        # parquet writers each); 8g at 32 threads GC-thrashes
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )

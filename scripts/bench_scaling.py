@@ -25,8 +25,14 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_level(cores: int, events: int, batch: int, html_size: int) -> dict:
-    """Run the replay at one parallelism level in a fresh JVM."""
+def run_level(cores: int, events: int, batch: int, html_size: int, reps: int) -> dict:
+    """Run the replay at one parallelism level in a fresh JVM.
+
+    The replay is repeated ``reps`` times and the MINIMUM apply time is
+    reported: this host shows bursty hypervisor steal (identical
+    back-to-back runs measured 6x apart), and noise only ever adds
+    time, so min-of-k estimates the noise-free runtime.
+    """
     code = f"""
 import json, sys
 sys.path.insert(0, {REPO!r})
@@ -34,9 +40,14 @@ from giraffe_etl_spark.session import get_spark
 from bench import run_cdc_bench
 spark = get_spark("scaling-{cores}", cores={cores})
 spark.sparkContext.setLogLevel("ERROR")
-spark.range(1000).selectExpr("sum(id)").collect()
-ev, apply_sec, wall = run_cdc_bench(
-    spark, n_events={events}, batch_size={batch}, html_size={html_size})
+best = None
+for rep in range({reps}):
+    ev, apply_sec, wall = run_cdc_bench(
+        spark, n_events={events}, batch_size={batch}, html_size={html_size})
+    print("REP", rep, round(apply_sec, 2), flush=True)
+    if best is None or apply_sec < best[1]:
+        best = (ev, apply_sec, wall)
+ev, apply_sec, wall = best
 print("RESULT " + json.dumps({{"cores": {cores}, "events": ev,
     "apply_sec": apply_sec, "wall_sec": wall}}))
 spark.stop()
@@ -60,12 +71,14 @@ def main() -> None:
         "(the production workload is compute-dominated; tiny payloads would "
         "measure fixed per-batch driver overhead instead of scaling)",
     )
+    ap.add_argument("--reps", type=int, default=3,
+                    help="runs per level; min is reported (noise-robust)")
     ap.add_argument("--no-write", action="store_true")
     args = ap.parse_args()
 
     batch = max(2000, args.events // 4)
-    lo = run_level(args.n, args.events, batch, args.html_size)
-    hi = run_level(4 * args.n, args.events, batch, args.html_size)
+    lo = run_level(args.n, args.events, batch, args.html_size, args.reps)
+    hi = run_level(4 * args.n, args.events, batch, args.html_size, args.reps)
 
     tput_lo = lo["events"] / lo["apply_sec"]
     tput_hi = hi["events"] / hi["apply_sec"]
