@@ -73,10 +73,18 @@ def main() -> None:
     )
     ap.add_argument("--reps", type=int, default=3,
                     help="runs per level; min is reported (noise-robust)")
+    ap.add_argument(
+        "--batch", type=int, default=None,
+        help="events per batch (default: all events in ONE batch, mirroring "
+        "production proportions: a 10^10-event stream is applied in ~10^8-event "
+        "batches, so per-batch commit bookkeeping is amortized to noise; many "
+        "tiny batches would benchmark the constant-time offset-log commits "
+        "instead of the data plane)",
+    )
     ap.add_argument("--no-write", action="store_true")
     args = ap.parse_args()
 
-    batch = max(2000, args.events // 4)
+    batch = args.batch or args.events
     lo = run_level(args.n, args.events, batch, args.html_size, args.reps)
     hi = run_level(4 * args.n, args.events, batch, args.html_size, args.reps)
 
