@@ -33,12 +33,11 @@ from pyspark.sql.types import StructType
 
 from ..lake import Table
 from .plan import (
-    canonicalize,
     dedup_winners,
     dedup_winners_rank_join,
     dedup_winners_window,
-    detect_hot_keys,
-    split_quarantine,
+    key_stats,
+    tag_batch,
     transform_winners,
 )
 
@@ -99,7 +98,14 @@ class ApplyResult:
 
 
 class CdcApplier:
-    """Owns the target pages table + quarantine + metrics side tables."""
+    """Owns the target pages table + quarantine + metrics side tables.
+
+    ``hot_key_threshold``: events-per-key above which a key is salted
+    in ``window`` dedup mode.  ``None`` (default) = auto — 4x the mean
+    events-per-shuffle-partition, floor 64 (see
+    ``_resolve_hot_threshold``); ``0`` disables salting; an int pins
+    the threshold.
+    """
 
     def __init__(
         self,
@@ -151,22 +157,40 @@ class CdcApplier:
             return ApplyResult(batch_id=batch_id, skipped=True)
 
         phases: dict[str, int] = {}
-        # materialize the raw batch ONCE: quarantine routing, dedup
-        # ranks, and the winner join all re-scan it from cache instead
-        # of re-reading (or re-generating) the source per action
-        changes = changes.persist()
+        # ONE pass over the source: validity tagging + canonical key,
+        # materialized to cache.  Quarantine routing, keys-only
+        # planning, and the dedup+merge job all reread the canonical
+        # batch from cache — the normalize expression runs once per
+        # event, and the source (binlog read / generator) is scanned
+        # once.  MEMORY_AND_DISK: a production 10^8-event batch with
+        # ~1 KB payloads is ~100 GB cluster-wide — comfortably in
+        # aggregate executor memory at 1000 executors, spilling to
+        # local disk rather than recomputing if a node is tight.
+        from pyspark import StorageLevel
+
+        tagged = tag_batch(changes, mode=self.url_mode).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
         try:
-            t_q = time.monotonic()
-            n_changes = changes.count()  # fills the cache
-            valid, quarantined = split_quarantine(changes)
+            t_c = time.monotonic()
+            n_changes = tagged.count()  # fills the cache
+            phases["canon_cache"] = int((time.monotonic() - t_c) * 1000)
 
             # quarantine route (idempotent via its own batch watermark).
             # One job: the append itself counts rows via parquet footers.
+            t_q = time.monotonic()
             q_mark = f"stream.{self.stream_id}.last_batch"
             q_last = int(self.quarantine.properties.get(q_mark, "-1"))
             n_quar = 0
             if q_last < batch_id:
-                q_df = quarantined.withColumn("batch_id", F.lit(batch_id).cast("long"))
+                q_df = (
+                    tagged.filter(F.col("_reason").isNotNull())
+                    .withColumnRenamed("_reason", "reason")
+                    .withColumn("batch_id", F.lit(batch_id).cast("long"))
+                    .select(
+                        "lsn", "op", "url", "warc_ts", "html", "reason", "batch_id"
+                    )
+                )
                 q_snap = self.quarantine.append(q_df, {q_mark: str(batch_id)})
                 n_quar = sum(
                     fi["rows"]
@@ -179,24 +203,31 @@ class CdcApplier:
                 )
             phases["quarantine"] = int((time.monotonic() - t_q) * 1000)
 
-            canon = canonicalize(valid, mode=self.url_mode)
+            valid = tagged.filter(F.col("_reason").isNull()).drop("_reason")
+            # one per-key aggregate (cached: one small row per distinct
+            # key) powers bucket planning, hot-key detection and the
+            # rank-join dedup — no repeated scans of the payload batch
+            keys = key_stats(valid).persist()
             if self.dedup_mode == "window":
                 hot = None
-                if self.hot_key_threshold:
-                    hot = detect_hot_keys(canon, self.hot_key_threshold)
-                winners = dedup_winners_window(canon, hot_keys=hot)
+                threshold = self._resolve_hot_threshold(n_changes)
+                if threshold:
+                    hot = keys.filter(F.col("_events") > threshold).select("url")
+                winners = dedup_winners_window(valid, hot_keys=hot)
             elif self.dedup_mode == "agg":
-                winners = dedup_winners(canon)
-            else:  # "rank_join" default: payload never shuffles pre-merge
-                winners = dedup_winners_rank_join(canon)
+                winners = dedup_winners(valid)
+            else:  # "rank_join": payload never shuffles pre-merge
+                winners = dedup_winners_rank_join(valid, ranks=keys)
             staged = transform_winners(winners)
 
-            result = self._merge(
-                staged, batch_id, lsn_range, phases,
-                canon_keys=canon.select("url", "warc_ts", "lsn"),
-            )
+            result = self._merge(staged, batch_id, lsn_range, phases, keys=keys)
+            keys.unpersist()
             result.rows_in = n_changes
             result.rows_quarantined = n_quar
+            # wall_ms is set BEFORE the metrics commit so the lineage
+            # table records the real batch latency (the metrics write
+            # itself is a driver-side parquet append, ~ms)
+            result.wall_ms = int((time.monotonic() - t0) * 1000)
             t_m = time.monotonic()
             self._record_metrics(result)
             phases["metrics"] = int((time.monotonic() - t_m) * 1000)
@@ -204,7 +235,20 @@ class CdcApplier:
             result.phase_ms = phases
             return result
         finally:
-            changes.unpersist()
+            tagged.unpersist()
+
+    def _resolve_hot_threshold(self, n_changes: int) -> int | None:
+        """Auto hot-key threshold: on by default in window mode.
+
+        A key is "hot" when its event count would dominate one reducer:
+        4x the average events-per-shuffle-partition (floor 64 so small
+        test batches never salt).  Pass an int to pin, 0/None via
+        ``hot_key_threshold=0`` to disable.
+        """
+        if self.hot_key_threshold is not None:
+            return self.hot_key_threshold or None
+        parts = int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        return max(64, (4 * n_changes) // max(parts, 1))
 
     def _merge(
         self,
@@ -212,7 +256,7 @@ class CdcApplier:
         batch_id: int,
         lsn_range: tuple[int, int] | None,
         phases: dict | None = None,
-        canon_keys: DataFrame | None = None,
+        keys: DataFrame | None = None,
     ) -> ApplyResult:
         """Join winners against only the touched buckets; rewrite those.
 
@@ -221,12 +265,12 @@ class CdcApplier:
         splits skewed partitions otherwise.  Bucket pruning bounds the
         rewrite to touched buckets — the 100 TB survival property.
 
-        ``canon_keys`` (url, warc_ts, lsn of the canonicalized batch)
-        enables the cheap planning path: touched buckets + winner
-        counts come from a keys-only aggregate (no payload, no Python),
-        and the expensive dedup + transform pipeline then runs exactly
-        once, inside the write job — no intermediate persist/collect
-        materialization.
+        ``keys`` (the cached ``key_stats`` frame: one row per distinct
+        url) enables the cheap planning path: touched buckets + winner
+        counts come from a tiny aggregate over it (no payload, no
+        Python), and the expensive dedup + transform pipeline then runs
+        exactly once, inside the write job — no intermediate
+        persist/collect materialization of payload rows.
         """
         snap = self.pages.current_snapshot()
         payload_cols = [
@@ -258,15 +302,16 @@ class CdcApplier:
         persisted = None
         try:
             t_s = time.monotonic()
-            if canon_keys is not None:
-                # keys-only planning job: distinct winner keys per bucket
+            if keys is not None:
+                # keys-only planning job (fills the keys cache): winner
+                # keys per bucket — keys is already one row per url
                 bucket_counts = {
                     r["_bucket"]: r["cnt"]
-                    for r in canon_keys.select(
-                        self.pages.bucket_expr("url").alias("_bucket"), "url"
+                    for r in keys.select(
+                        self.pages.bucket_expr("url").alias("_bucket")
                     )
                     .groupBy("_bucket")
-                    .agg(F.countDistinct("url").alias("cnt"))
+                    .agg(F.count(F.lit(1)).alias("cnt"))
                     .collect()
                 }
             else:

@@ -3,7 +3,10 @@
 Semantics (the contract every distributed path must match exactly):
 
 - malformed events (see ``validity_reason``) never reach the table,
-- the canonical key is ``normalize_url(url)``,
+- the canonical key is ``normalize_url_simple(url)`` — the
+  grammar-guarded normalizer, byte-identical to the engine's JVM
+  canonicalization expression on EVERY input (in-grammar URLs are
+  normalized, out-of-grammar URLs pass through trimmed),
 - per key, the *winning* event is the one with max ``(warc_ts, lsn)``
   — last-writer-wins on event time, monotonic-LSN tiebreak.  The
   initial page row participates with lsn = -1 (it predates the stream),
@@ -22,7 +25,7 @@ from __future__ import annotations
 import pandas as pd
 
 from ..functions.text import extract_text, tag_lang
-from ..functions.url import normalize_url
+from ..functions.url import normalize_url_simple
 
 VALID_OPS = frozenset({"I", "U", "D"})
 
@@ -53,14 +56,14 @@ def oracle_apply(pages: pd.DataFrame, changes: pd.DataFrame) -> pd.DataFrame:
     state: dict[str, tuple[pd.Timestamp, int, str, bytes | None]] = {}
     # (warc_ts, lsn, op, html) per canonical url; initial rows at lsn -1
     for row in pages.itertuples(index=False):
-        key = normalize_url(row.url)
+        key = normalize_url_simple(row.url)
         state[key] = (row.warc_ts, -1, "I", row.html)
 
     ordered = changes.sort_values("lsn", kind="mergesort")
     for row in ordered.itertuples(index=False):
         if validity_reason(row.op, row.url, row.warc_ts, row.html) is not None:
             continue
-        key = normalize_url(row.url)
+        key = normalize_url_simple(row.url)
         cand = (row.warc_ts, int(row.lsn), row.op, row.html)
         cur = state.get(key)
         if cur is None or (cand[0], cand[1]) >= (cur[0], cur[1]):

@@ -52,6 +52,35 @@ def split_quarantine(changes: DataFrame) -> tuple[DataFrame, DataFrame]:
     return valid, quarantined
 
 
+def tag_batch(changes: DataFrame, mode: str = "expr") -> DataFrame:
+    """Single-pass validity tagging + canonicalization (the cache shape).
+
+    Adds ``_reason`` (null = valid) and replaces ``url`` with the
+    canonical CDC key for valid rows (quarantined rows keep the raw
+    url).  The apply stage persists THIS projection, so the normalize
+    expression is evaluated exactly once per event — quarantine
+    routing, keys-only planning, and the dedup+merge job all reread the
+    canonical batch from cache instead of re-deriving it.
+    """
+    reason = (
+        F.when(F.col("url").isNull() | (F.trim(F.col("url")) == ""), "null_url")
+        .when(~F.col("op").isin("I", "U", "D"), "bad_op")
+        .when(F.col("warc_ts").isNull(), "null_warc_ts")
+        .when(F.col("op").isin("I", "U") & F.col("html").isNull(), "null_html")
+    )
+    if mode == "udf":
+        canon = normalize_url_udf(F.col("url"))
+    else:
+        from ..functions.url_expr import normalize_url_expr
+
+        canon = normalize_url_expr(F.col("url"))
+    tagged = changes.withColumn("_reason", reason)
+    return tagged.withColumn(
+        "url",
+        F.when(F.col("_reason").isNull(), canon).otherwise(F.col("url")),
+    )
+
+
 def canonicalize(valid: DataFrame, mode: str = "expr") -> DataFrame:
     """Replace url with its canonical (normalized) form — the CDC key.
 
@@ -89,7 +118,23 @@ def dedup_winners(valid: DataFrame) -> DataFrame:
     return won.select(*[F.col(f"w.{c}").alias(c) for c in cols])
 
 
-def dedup_winners_rank_join(valid: DataFrame) -> DataFrame:
+def key_stats(valid: DataFrame) -> DataFrame:
+    """Per-key aggregate powering planning, skew detection AND dedup.
+
+    One map-side-combined shuffle of ``(url, count, max(warc_ts, lsn))``
+    — a few bytes per event regardless of payload width.  The apply
+    stage persists the (small: one row per distinct key) result and
+    reuses it three ways: touched-bucket planning, hot-key detection,
+    and the rank join that picks winner payloads without shuffling
+    them.
+    """
+    return valid.groupBy("url").agg(
+        F.count(F.lit(1)).alias("_events"),
+        F.max(F.struct("warc_ts", "lsn")).alias("_r"),
+    )
+
+
+def dedup_winners_rank_join(valid: DataFrame, ranks: DataFrame | None = None) -> DataFrame:
     """Per-url winner via rank-only shuffle + join-back (payload-free).
 
     Phase 1 aggregates just ``(url, warc_ts, lsn)`` — a shuffle of a
@@ -105,10 +150,13 @@ def dedup_winners_rank_join(valid: DataFrame) -> DataFrame:
     Requires (warc_ts, lsn) to be unique per url among valid events —
     lsn is globally unique by contract, so the join returns exactly
     one row per key.
+
+    ``ranks``: pass a precomputed (and ideally cached) ``key_stats``
+    frame to reuse one aggregate across planning and dedup.
     """
-    ranks = valid.groupBy("url").agg(
-        F.max(F.struct("warc_ts", "lsn")).alias("_r")
-    )
+    if ranks is None:
+        ranks = key_stats(valid)
+    ranks = ranks.select("url", "_r")
     # explicit aliases: ranks derives from valid, so unqualified column
     # references would be ambiguous in the self-join
     v, r = valid.alias("_dw_v"), ranks.alias("_dw_r")

@@ -19,12 +19,22 @@ and idempotent: normalize(normalize(u)) == normalize(u).
 
 from __future__ import annotations
 
+import re
 from urllib.parse import urlsplit
 
 _INDEX_FILES = frozenset(
     {"index.html", "index.htm", "index.php", "default.htm", "default.html"}
 )
 _DEFAULT_PORTS = {"http": 80, "https": 443}
+
+# The "simple grammar": scheme://host[:port][/path][?query][#fragment]
+# with host from [A-Za-z0-9.-] (no userinfo / IPv6 / pct-encoded
+# authority).  Shared by the JVM expression (functions/url_expr.py) and
+# the grammar-guarded Python normalizer below — keep in one place.
+SIMPLE_URL_RE = (
+    r"^[A-Za-z][A-Za-z0-9+.-]*://[A-Za-z0-9.-]+(:[0-9]+)?(/[^?#]*)?(\?[^#]*)?(#.*)?$"
+)
+_SIMPLE_URL_COMPILED = re.compile(SIMPLE_URL_RE)
 
 
 def _normalize_path(path: str) -> str:
@@ -68,7 +78,10 @@ def normalize_url(url: str | None) -> str | None:
     if host.startswith("www.") and len(host) > 4:
         host = host[4:]
 
-    port = parts.port
+    try:
+        port = parts.port  # raises ValueError when outside [0, 65535]
+    except ValueError:
+        return u
     netloc = host
     if port is not None and port != _DEFAULT_PORTS.get(scheme):
         netloc = f"{host}:{port}"
@@ -87,6 +100,26 @@ def normalize_url(url: str | None) -> str | None:
     return out
 
 
+def normalize_url_simple(url: str | None) -> str | None:
+    """Grammar-guarded canonicalizer — the CDC key contract.
+
+    Exactly the semantics of the JVM ``normalize_url_expr``
+    (parity-tested): URLs matching :data:`SIMPLE_URL_RE` are normalized
+    via :func:`normalize_url`; anything else (userinfo, IPv6 literals,
+    schemeless strings, ports urllib rejects) passes through
+    trimmed-but-unchanged.  The CDC oracle keys on THIS function so the
+    engine's pure-JVM canonicalization and the oracle agree on every
+    input, not just in-grammar ones.  Full-urllib canonicalization
+    remains available as ``canonicalize(mode="udf")``.
+    """
+    if url is None:
+        return None
+    u = url.strip()
+    if not _SIMPLE_URL_COMPILED.match(u):
+        return u
+    return normalize_url(u)
+
+
 def parse_url_components(url: str | None) -> dict[str, str | None]:
     """Decompose a URL into scheme/host/port/path/query/fragment strings.
 
@@ -98,12 +131,13 @@ def parse_url_components(url: str | None) -> dict[str, str | None]:
         return empty
     try:
         p = urlsplit(url.strip())
+        port = p.port  # raises ValueError when outside [0, 65535]
     except ValueError:
         return empty
     return {
         "scheme": p.scheme or None,
         "host": p.hostname,
-        "port": str(p.port) if p.port is not None else None,
+        "port": str(port) if port is not None else None,
         "path": p.path or None,
         "query": p.query or None,
         "fragment": p.fragment or None,

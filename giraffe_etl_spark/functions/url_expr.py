@@ -2,18 +2,30 @@
 
 ``normalize_url_expr`` re-expresses functions/url.py::normalize_url as
 a pure Column expression so the CDC canonicalization step runs inside
-whole-stage codegen instead of costing an extra Arrow round trip of the
-full change batch (html payload included) through a Python worker.
+the JVM instead of costing an extra Arrow round trip of the full change
+batch (html payload included) through a Python worker.
 
 Parity contract: for URLs matching the *simple grammar*
 
     scheme://host[:port][/path][?query][#fragment]
 
 with ``host`` built from [A-Za-z0-9.-] (no userinfo, no IPv6 literal,
-no percent-encoded authority), the expression is byte-identical to the
-pure-Python normalizer (property-tested in tests/test_functions.py).
-URLs outside the grammar are returned trimmed-but-unchanged — use
-``canonicalize(mode="udf")`` when full urllib semantics are required.
+no percent-encoded authority) and ``port`` in [0, 65535], the
+expression is byte-identical to the pure-Python normalizer
+(property-tested in tests/test_url_expr.py).  URLs outside the grammar
+— and in-grammar URLs whose port exceeds 65535, which urllib rejects —
+are returned trimmed-but-unchanged.  ``canonicalize(mode="hybrid")``
+routes the out-of-grammar remainder through the full-urllib pandas UDF
+so the whole batch matches the oracle.
+
+Performance note (measured, round 2): a naive single-Column build of
+this expression duplicates every shared subtree — the path-fold
+``aggregate`` ended up in the tree ~10x, and higher-order functions
+run interpreted with no common-subexpression elimination, costing
+~0.6 ms/row.  Every shared piece is therefore bound exactly once via
+``_let`` (a single-element ``transform``, whose lambda variable is
+evaluated once and referenced many times), which brought the cost to
+~3 us/row — ~200x faster on the same input.
 
 Reference behavior studied (not ported): giraffe-etl dataprocessors
 URLComponents.normalize, URLComponents.java:262-362.
@@ -23,19 +35,30 @@ from __future__ import annotations
 
 from pyspark.sql import Column, functions as F
 
+from .url import SIMPLE_URL_RE as _SIMPLE_URL_RE
+
 _INDEX_FILES = ("index.html", "index.htm", "index.php", "default.htm", "default.html")
 
-# the simple grammar guarded by the expression (see module docstring)
-_SIMPLE_URL_RE = (
-    r"^[A-Za-z][A-Za-z0-9+.-]*://[A-Za-z0-9.-]+(:[0-9]+)?(/[^?#]*)?(\?[^#]*)?(#.*)?$"
-)
+
+def _let(expr: Column, body) -> Column:
+    """Bind ``expr`` to a lambda variable evaluated ONCE, apply ``body``.
+
+    ``transform`` over a one-element array is the cheapest Catalyst
+    construct that introduces a bound variable; the alternative —
+    referencing ``expr`` repeatedly — duplicates its whole subtree per
+    reference (and HOF subtrees are interpreted, not codegen'd).
+    """
+    return F.element_at(F.transform(F.array(expr), body), 1)
 
 
 def _resolve_path(path: Column) -> Column:
-    """Mirror url.py::_normalize_path: fold '.'/'..', strip index file."""
-    segs = F.split(path, "/")
-    folded = F.aggregate(
-        segs,
+    """Mirror url.py::_normalize_path: fold '.'/'..', strip index file.
+
+    The fold's finish lambda receives the accumulated array as a bound
+    variable, so the strip/join logic references it for free.
+    """
+    return F.aggregate(
+        F.split(path, "/"),
         F.array().cast("array<string>"),
         lambda acc, seg: (
             F.when(seg == ".", acc)
@@ -48,16 +71,20 @@ def _resolve_path(path: Column) -> Column:
             )
             .otherwise(F.concat(acc, F.array(seg)))
         ),
+        lambda acc: _let(
+            F.when(
+                (F.size(acc) > 0)
+                & F.lower(F.element_at(acc, -1)).isin(*_INDEX_FILES),
+                F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(""))),
+            ).otherwise(acc),
+            lambda stripped: _let(
+                F.array_join(stripped, "/"),
+                lambda joined: F.when(joined.startswith("/"), joined).otherwise(
+                    F.concat(F.lit("/"), joined)
+                ),
+            ),
+        ),
     )
-    index_hit = (F.size(folded) > 0) & F.lower(F.element_at(folded, -1)).isin(
-        *_INDEX_FILES
-    )
-    stripped = F.when(
-        index_hit,
-        F.concat(F.slice(folded, 1, F.size(folded) - 1), F.array(F.lit(""))),
-    ).otherwise(folded)
-    joined = F.array_join(stripped, "/")
-    return F.when(joined.startswith("/"), joined).otherwise(F.concat(F.lit("/"), joined))
 
 
 def _sorted_query(query: Column) -> Column:
@@ -72,41 +99,76 @@ def _sorted_query(query: Column) -> Column:
     return F.array_join(F.transform(F.array_sort(keyed), lambda s: s["p"]), "&")
 
 
+def _assemble(u: Column) -> Column:
+    """Normalized form of an in-grammar, trimmed, non-null URL.
+
+    Evaluates to NULL when the port is out of urllib's [0, 65535] range
+    — the caller's ``coalesce`` then falls back to the raw input,
+    matching the Python normalizer (which treats such URLs as
+    unparseable and returns them unchanged).
+    """
+    pieces = F.struct(
+        F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1)).alias(
+            "scheme"
+        ),
+        F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1).alias("auth"),
+        F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)?", 1).alias(
+            "rawpath"
+        ),
+        # the '?' must be the FIRST one before any '#': a query may
+        # itself contain later '?' characters
+        F.regexp_extract(u, r"^[^#?]*\?([^#]*)", 1).alias("query"),
+    )
+
+    def build(s: Column) -> Column:
+        scheme = s["scheme"]
+        host = _let(
+            F.lower(F.regexp_extract(s["auth"], r"^([^:]*)", 1)),
+            lambda h: F.when(
+                h.startswith("www.") & (F.length(h) > 4),
+                F.substring(h, 5, 2_000_000),
+            ).otherwise(h),
+        )
+        # out-of-range (>65535) or int64-overflow ports evaluate to NULL,
+        # which propagates through the final concat -> whole expression
+        # NULL -> caller's coalesce falls back to the raw input
+        portpart = _let(
+            F.regexp_extract(s["auth"], r":([0-9]+)$", 1),
+            lambda ps: F.when(ps == "", F.lit("")).otherwise(
+                _let(
+                    ps.try_cast("long"),
+                    lambda p: F.when(
+                        p.isNull() | (p > 65535), F.lit(None).cast("string")
+                    )
+                    .when(
+                        ((scheme == "http") & (p == 80))
+                        | ((scheme == "https") & (p == 443)),
+                        F.lit(""),
+                    )
+                    .otherwise(F.concat(F.lit(":"), p.cast("string"))),
+                )
+            ),
+        )
+        path = F.when(s["rawpath"] == "", F.lit("/")).otherwise(
+            _resolve_path(s["rawpath"])
+        )
+        qpart = _let(
+            _sorted_query(s["query"]),
+            lambda q: F.when(q == "", F.lit("")).otherwise(
+                F.concat(F.lit("?"), q)
+            ),
+        )
+        return F.concat(scheme, F.lit("://"), host, portpart, path, qpart)
+
+    return _let(pieces, build)
+
+
 def normalize_url_expr(url: Column | str) -> Column:
     """Canonical CDC key as a JVM expression (see module docstring)."""
-    u = F.trim(F.col(url) if isinstance(url, str) else url)
-
-    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    authpath = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^?#]*)", 1)
-    authority = F.regexp_extract(authpath, r"^([^/]*)", 1)
-    raw_path = F.regexp_extract(authpath, r"^[^/]*(/.*)?$", 1)
-    # the '?' must precede any '#': a fragment may itself contain '?'
-    query = F.regexp_extract(u, r"^[^#]*\?([^#]*)", 1)
-
-    host0 = F.lower(F.regexp_extract(authority, r"^([^:]*)", 1))
-    host = F.when(
-        host0.startswith("www.") & (F.length(host0) > 4), F.substring(host0, 5, 2_000_000)
-    ).otherwise(host0)
-    port = F.regexp_extract(authority, r":([0-9]+)$", 1)
-    # compare numerically: ':0080' is the default port too (python int())
-    default_port = ((scheme == "http") & (port.cast("int") == 80)) | (
-        (scheme == "https") & (port.cast("int") == 443)
+    u0 = F.trim(F.col(url) if isinstance(url, str) else url)
+    return _let(
+        u0,
+        lambda u: F.when(u.isNull(), F.lit(None).cast("string"))
+        .when(u.rlike(_SIMPLE_URL_RE), F.coalesce(_assemble(u), u))
+        .otherwise(u),
     )
-    portpart = F.when((port == "") | default_port, F.lit("")).otherwise(
-        F.concat(F.lit(":"), port.cast("int").cast("string"))
-    )
-
-    path = F.when(raw_path == "", F.lit("/")).otherwise(_resolve_path(raw_path))
-    q = _sorted_query(query)
-
-    normalized = F.concat(
-        scheme,
-        F.lit("://"),
-        host,
-        portpart,
-        path,
-        F.when(q == "", F.lit("")).otherwise(F.concat(F.lit("?"), q)),
-    )
-    return F.when(u.isNull(), F.lit(None).cast("string")).when(
-        u.rlike(_SIMPLE_URL_RE), normalized
-    ).otherwise(u)

@@ -45,6 +45,11 @@ IN_GRAMMAR = [
     "http://example.org/index.php",
     "http://example.org/p#f?x=1",          # '?' inside fragment is not a query
     "http://example.org/p?a=1#f?x=2",
+    "http://example.org/p?a=1?b=2",        # second '?' belongs to the query
+    "http://example.org/p?a=1?z&a=0",      # sort with '?' inside a pair
+    "http://example.org:65535/a",          # max valid port kept
+    "http://example.org:99999/a",          # port > 65535: urllib rejects -> passthrough
+    "http://example.org:99999999999999999999/a",  # port > int64: no overflow-null
 ]
 
 OUT_OF_GRAMMAR = [
