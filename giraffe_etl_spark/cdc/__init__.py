@@ -1,3 +1,4 @@
+from .convert import FieldSpec, convert_typed, split_conversion_errors
 from .apply import CdcApplier, create_pages_table, read_pages, seed_pages
 from .generate import ChangeGenConfig, changes_df, gen_changes, gen_pages, pages_df
 from .oracle import oracle_apply, oracle_quarantine, validity_reason
@@ -5,6 +6,9 @@ from .replay import ReplayReport, replay
 
 __all__ = [
     "CdcApplier",
+    "FieldSpec",
+    "convert_typed",
+    "split_conversion_errors",
     "create_pages_table",
     "seed_pages",
     "read_pages",

@@ -33,6 +33,7 @@ from pyspark.sql.types import StructType
 
 from ..lake import Table
 from .plan import (
+    canonicalize,
     dedup_winners,
     dedup_winners_rank_join,
     dedup_winners_window,
@@ -95,6 +96,7 @@ class ApplyResult:
     wall_ms: int = 0
     per_bucket: list = field(default_factory=list)  # (bucket, rows_applied)
     phase_ms: dict = field(default_factory=dict)  # stage -> wall ms
+    hot_keys_detected: int = 0  # keys above the salting threshold (window mode)
 
 
 class CdcApplier:
@@ -105,6 +107,21 @@ class CdcApplier:
     events-per-shuffle-partition, floor 64 (see
     ``_resolve_hot_threshold``); ``0`` disables salting; an int pins
     the threshold.
+
+    ``materialize`` — what the apply stage caches per batch:
+
+    - ``"keys"`` (default, the 100 TB shape): only the per-key
+      aggregate (one small row per distinct url) is cached; the change
+      batch itself is re-read per job.  Correct whenever the source is
+      deterministic and re-readable (a binlog/WAL tail, a parquet
+      change log, a generator — all are).  A 10^8-event batch of ~50 KB
+      pages is terabytes; re-reading the columnar source twice (keys
+      pass prunes to 3 tiny columns + null masks, merge pass reads
+      payload once) beats materializing it cluster-wide — the same
+      trade Iceberg's own MERGE planning makes.
+    - ``"batch"``: the tagged batch is persisted MEMORY_AND_DISK and
+      every job rereads the cache — for volatile or expensive
+      non-columnar sources.
     """
 
     def __init__(
@@ -116,13 +133,17 @@ class CdcApplier:
         dedup_mode: str = "window",
         hot_key_threshold: int | None = None,
         url_mode: str = "expr",
+        materialize: str = "keys",
     ):
+        if materialize not in ("keys", "batch"):
+            raise ValueError(f"materialize must be 'keys' or 'batch': {materialize!r}")
         self.spark = spark
         self.root = root
         self.stream_id = stream_id
         self.dedup_mode = dedup_mode
         self.hot_key_threshold = hot_key_threshold
         self.url_mode = url_mode
+        self.materialize = materialize
         pages_path = os.path.join(root, "pages")
         if Table.exists(pages_path):
             self.pages = Table.load(spark, pages_path)
@@ -157,32 +178,106 @@ class CdcApplier:
             return ApplyResult(batch_id=batch_id, skipped=True)
 
         phases: dict[str, int] = {}
-        # ONE pass over the source: validity tagging + canonical key,
-        # materialized to cache.  Quarantine routing, keys-only
-        # planning, and the dedup+merge job all reread the canonical
-        # batch from cache — the normalize expression runs once per
-        # event, and the source (binlog read / generator) is scanned
-        # once.  MEMORY_AND_DISK: a production 10^8-event batch with
-        # ~1 KB payloads is ~100 GB cluster-wide — comfortably in
-        # aggregate executor memory at 1000 executors, spilling to
-        # local disk rather than recomputing if a node is tight.
+        # ONE projection over the source: validity tagging + canonical
+        # key.  What gets materialized depends on ``self.materialize``
+        # (see class docstring): "keys" caches only the per-key
+        # aggregate and rereads the (columnar, prunable) source per
+        # job; "batch" persists the full tagged batch MEMORY_AND_DISK.
         from pyspark import StorageLevel
 
-        tagged = tag_batch(changes, mode=self.url_mode).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
+        tagged = tag_batch(changes, mode=self.url_mode)
+        cached_batch = None
+        if self.materialize == "batch":
+            tagged = cached_batch = tagged.persist(StorageLevel.MEMORY_AND_DISK)
+        valid = tagged.filter(F.col("_reason").isNull()).drop("_reason")
+        if cached_batch is not None:
+            # batch mode: exact per-key aggregate off the cache (the
+            # in-memory columnar scan prunes to url/warc_ts/lsn)
+            keys = key_stats(valid).persist()
+            exact_keys = True
+        else:
+            # keys mode: the planning aggregate is a SUPERSET of the
+            # valid keys — it drops only null/empty urls and ignores
+            # op/ts/html validity, so the source scan is column-pruned
+            # to (url, warc_ts, lsn) and never touches the payload.
+            # Safe by construction: the touched bucket set can only be
+            # a superset (a bucket touched solely by quarantined rows
+            # is rewritten unchanged — bounded by the malformed
+            # fraction), and the hot-key list is a heuristic anyway.
+            # Exact winner ranks for rank_join dedup are recomputed
+            # over ``valid`` inside the merge job instead.  The exact
+            # input row count rides the same scan as an Observation —
+            # no extra job, no double-count of quarantined-but-keyed
+            # rows in the lineage metrics.
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            base = changes.select("url", "warc_ts", "lsn").observe(
+                obs, F.count(F.lit(1)).alias("n_total")
+            )
+            keys = key_stats(
+                canonicalize(
+                    base.filter(
+                        F.col("url").isNotNull() & (F.trim(F.col("url")) != "")
+                    ),
+                    mode=self.url_mode,
+                )
+            ).persist()
+            exact_keys = False
         try:
-            t_c = time.monotonic()
-            n_changes = tagged.count()  # fills the cache
-            phases["canon_cache"] = int((time.monotonic() - t_c) * 1000)
+            n_quar = 0
+            if cached_batch is not None:
+                t_c = time.monotonic()
+                # fills the batch cache AND yields row counts per
+                # quarantine reason in the same job
+                reason_counts = {
+                    r["_reason"]: r["cnt"]
+                    for r in tagged.groupBy("_reason")
+                    .agg(F.count(F.lit(1)).alias("cnt"))
+                    .collect()
+                }
+                n_changes = int(sum(reason_counts.values()))
+                n_quar = int(n_changes - reason_counts.get(None, 0))
+                phases["canon_cache"] = int((time.monotonic() - t_c) * 1000)
+
+            # planning job (fills the keys cache): winner count per
+            # bucket; in "keys" mode also total valid events (for the
+            # auto skew threshold) — one action for all of it
+            t_p = time.monotonic()
+            plan_rows = (
+                keys.select(
+                    self.pages.bucket_expr("url").alias("_bucket"),
+                    F.col("_events"),
+                )
+                .groupBy("_bucket")
+                .agg(
+                    F.count(F.lit(1)).alias("cnt"),
+                    F.sum(F.col("_events")).alias("ev"),
+                )
+                .collect()
+            )
+            bucket_counts = {r["_bucket"]: r["cnt"] for r in plan_rows}
+            n_valid = int(sum(r["ev"] for r in plan_rows))
+            if not exact_keys:
+                # total input rows observed on the planning scan itself.
+                # Observation.get asserts when the optimizer collapsed
+                # the scan to an empty LocalRelation (e.g. a .limit(0)
+                # source) and the observe node never ran — fall back to
+                # a direct count, which is trivial on such plans.
+                try:
+                    n_changes = int(obs.get["n_total"])
+                except Exception:
+                    n_changes = changes.count()
+            phases["plan"] = int((time.monotonic() - t_p) * 1000)
 
             # quarantine route (idempotent via its own batch watermark).
-            # One job: the append itself counts rows via parquet footers.
+            # "batch" mode knows the count up front and skips the write
+            # job for clean batches; "keys" mode learns the count from
+            # the committed parquet footers of the append itself.
             t_q = time.monotonic()
             q_mark = f"stream.{self.stream_id}.last_batch"
             q_last = int(self.quarantine.properties.get(q_mark, "-1"))
-            n_quar = 0
-            if q_last < batch_id:
+            if q_last < batch_id and (cached_batch is None or n_quar > 0):
                 q_df = (
                     tagged.filter(F.col("_reason").isNotNull())
                     .withColumnRenamed("_reason", "reason")
@@ -192,27 +287,35 @@ class CdcApplier:
                     )
                 )
                 q_snap = self.quarantine.append(q_df, {q_mark: str(batch_id)})
-                n_quar = sum(
-                    fi["rows"]
-                    for fs in q_snap.buckets.values()
-                    for fi in fs
-                ) - sum(
-                    fi["rows"]
-                    for fs in self.quarantine.snapshot_at(q_snap.parent_id).buckets.values()
-                    for fi in fs
-                )
+                if cached_batch is None:
+                    n_quar = sum(
+                        fi["rows"] for fs in q_snap.buckets.values() for fi in fs
+                    ) - sum(
+                        fi["rows"]
+                        for fs in self.quarantine.snapshot_at(
+                            q_snap.parent_id
+                        ).buckets.values()
+                        for fi in fs
+                    )
             phases["quarantine"] = int((time.monotonic() - t_q) * 1000)
+            if exact_keys:
+                n_changes = n_valid + n_quar
 
-            valid = tagged.filter(F.col("_reason").isNull()).drop("_reason")
-            # one per-key aggregate (cached: one small row per distinct
-            # key) powers bucket planning, hot-key detection and the
-            # rank-join dedup — no repeated scans of the payload batch
-            keys = key_stats(valid).persist()
+            n_hot = 0
+            threshold = (
+                self._resolve_hot_threshold(n_valid)
+                if self.dedup_mode == "window"
+                else None
+            )
             if self.dedup_mode == "window":
                 hot = None
-                threshold = self._resolve_hot_threshold(n_changes)
                 if threshold:
                     hot = keys.filter(F.col("_events") > threshold).select("url")
+                    # small count on the CACHED keys frame — the salted
+                    # path's engagement is observable lineage
+                    n_hot = hot.count()
+                    if n_hot == 0:
+                        hot = None
                 winners = dedup_winners_window(valid, hot_keys=hot)
             elif self.dedup_mode == "agg":
                 winners = dedup_winners(valid)
@@ -220,10 +323,12 @@ class CdcApplier:
                 winners = dedup_winners_rank_join(valid, ranks=keys)
             staged = transform_winners(winners)
 
-            result = self._merge(staged, batch_id, lsn_range, phases, keys=keys)
-            keys.unpersist()
+            result = self._merge(
+                staged, batch_id, lsn_range, phases, bucket_counts=bucket_counts
+            )
             result.rows_in = n_changes
-            result.rows_quarantined = n_quar
+            result.rows_quarantined = int(n_quar)
+            result.hot_keys_detected = n_hot
             # wall_ms is set BEFORE the metrics commit so the lineage
             # table records the real batch latency (the metrics write
             # itself is a driver-side parquet append, ~ms)
@@ -235,7 +340,9 @@ class CdcApplier:
             result.phase_ms = phases
             return result
         finally:
-            tagged.unpersist()
+            keys.unpersist()
+            if cached_batch is not None:
+                cached_batch.unpersist()
 
     def _resolve_hot_threshold(self, n_changes: int) -> int | None:
         """Auto hot-key threshold: on by default in window mode.
@@ -256,7 +363,7 @@ class CdcApplier:
         batch_id: int,
         lsn_range: tuple[int, int] | None,
         phases: dict | None = None,
-        keys: DataFrame | None = None,
+        bucket_counts: dict[int, int] | None = None,
     ) -> ApplyResult:
         """Join winners against only the touched buckets; rewrite those.
 
@@ -265,10 +372,9 @@ class CdcApplier:
         splits skewed partitions otherwise.  Bucket pruning bounds the
         rewrite to touched buckets — the 100 TB survival property.
 
-        ``keys`` (the cached ``key_stats`` frame: one row per distinct
-        url) enables the cheap planning path: touched buckets + winner
-        counts come from a tiny aggregate over it (no payload, no
-        Python), and the expensive dedup + transform pipeline then runs
+        ``bucket_counts`` (bucket -> distinct winner keys, precomputed
+        by the apply stage's single planning aggregate) enables the
+        cheap path: the expensive dedup + transform pipeline runs
         exactly once, inside the write job — no intermediate
         persist/collect materialization of payload rows.
         """
@@ -302,19 +408,7 @@ class CdcApplier:
         persisted = None
         try:
             t_s = time.monotonic()
-            if keys is not None:
-                # keys-only planning job (fills the keys cache): winner
-                # keys per bucket — keys is already one row per url
-                bucket_counts = {
-                    r["_bucket"]: r["cnt"]
-                    for r in keys.select(
-                        self.pages.bucket_expr("url").alias("_bucket")
-                    )
-                    .groupBy("_bucket")
-                    .agg(F.count(F.lit(1)).alias("cnt"))
-                    .collect()
-                }
-            else:
+            if bucket_counts is None:
                 # fallback: materialize the staged winners to count them
                 persisted = src = src.persist()
                 bucket_counts = {
@@ -428,6 +522,7 @@ class CdcApplier:
             (self.stream_id, res.batch_id, "input", None, res.rows_in, res.wall_ms),
             (self.stream_id, res.batch_id, "quarantined", None, res.rows_quarantined, None),
             (self.stream_id, res.batch_id, "winners", None, res.rows_winners, None),
+            (self.stream_id, res.batch_id, "hot_keys", None, res.hot_keys_detected, None),
         ] + [
             (self.stream_id, res.batch_id, "applied", int(b), int(n), None)
             for b, n in res.per_bucket

@@ -38,6 +38,7 @@ def replay(
     batch_size: int,
     cfg: ChangeGenConfig | None = None,
     max_batches: int | None = None,
+    source=None,
 ) -> ReplayReport:
     """Apply the deterministic stream [0, n_events) in batches.
 
@@ -45,8 +46,14 @@ def replay(
     batch id doubles as the offset (lsn ranges are derived, 3 lsn per
     row index — see cdc/generate.py).  Resumes after the last committed
     batch automatically.
+
+    ``source``: optional ``(spark, cfg, lo, hi) -> DataFrame`` batch
+    factory.  Default regenerates each range via mapInPandas; a
+    binlog-shaped deployment passes a factory that range-reads a
+    staged log instead (see ``parquet_log_source``).
     """
     cfg = cfg or ChangeGenConfig()
+    src = source or _batch_df
     n_batches = (n_events + batch_size - 1) // batch_size
     start_batch = applier.last_committed_batch() + 1
     results: list[ApplyResult] = []
@@ -55,13 +62,45 @@ def replay(
         lo = b * batch_size
         hi = min(lo + batch_size, n_events)
         # build the batch directly over its index range (no full-stream scan)
-        batch = _batch_df(spark, cfg, lo, hi)
+        batch = src(spark, cfg, lo, hi)
         res = applier.apply_batch(batch, batch_id=b, lsn_range=(lo * 3, hi * 3 - 1))
         results.append(res)
         done += 1
         if max_batches is not None and done >= max_batches:
             break
     return ReplayReport(results)
+
+
+def stage_change_log(
+    spark: SparkSession, path: str, n_events: int, cfg: ChangeGenConfig | None = None
+) -> None:
+    """Materialize the deterministic stream as a parquet change log.
+
+    The real deployment tails a persisted binlog/WAL; this writes one,
+    ordered by row index so each batch's lsn range [3*lo, 3*hi) prunes
+    to a contiguous run of row groups on read.
+    """
+    cfg = cfg or ChangeGenConfig()
+    changes_df(spark, n_events, cfg).write.mode("overwrite").parquet(path)
+
+
+def parquet_log_source(path: str):
+    """Batch factory over a staged change log: lsn-range pruned scan.
+
+    lsn of row i lies in [3i, 3i+2], so rows [lo, hi) are exactly
+    lsn in [3*lo, 3*hi): a pushed-down range predicate the parquet
+    reader answers from row-group statistics — the Spark shape of
+    "seek to binlog offset".
+    """
+    from pyspark.sql import functions as F
+
+    def src(spark, cfg, lo, hi):
+        return (
+            spark.read.parquet(path)
+            .filter((F.col("lsn") >= 3 * lo) & (F.col("lsn") < 3 * hi))
+        )
+
+    return src
 
 
 def _batch_df(spark: SparkSession, cfg: ChangeGenConfig, lo: int, hi: int):

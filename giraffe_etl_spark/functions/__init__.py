@@ -5,7 +5,8 @@ from .text import (
     tag_lang,
     token_count,
 )
-from .url import normalize_url, parse_url_components
+from .httpline import parse_http_get, with_http_get
+from .url import normalize_url, normalize_url_simple, parse_url_components
 
 __all__ = [
     "extract_text",
@@ -14,5 +15,8 @@ __all__ = [
     "quality_score",
     "fingerprint64",
     "normalize_url",
+    "normalize_url_simple",
+    "parse_http_get",
+    "with_http_get",
     "parse_url_components",
 ]

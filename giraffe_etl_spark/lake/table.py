@@ -283,7 +283,15 @@ class Table:
         import pyarrow.parquet as pq
 
         out_dir = os.path.join(self.data_dir, uuid.uuid4().hex)
-        clustered = df.repartition(self.n_buckets(), F.col("_bucket"))
+        # hash-cluster on _bucket so each bucket's rows land wholly in
+        # ONE task (=> one file per bucket), but cap the task count at
+        # ~2x the available slots: a task covering several buckets
+        # still emits one file per bucket via partitionBy, and 32
+        # near-empty tasks would pay fixed per-task cost at low
+        # parallelism for nothing
+        par = self.spark.sparkContext.defaultParallelism
+        n_parts = min(self.n_buckets(), max(2 * par, 4))
+        clustered = df.repartition(n_parts, F.col("_bucket"))
         clustered.write.partitionBy("_bucket").mode("overwrite").parquet(out_dir)
         result: dict[str, list[dict]] = {}
         sid = self.current_snapshot().schema_id

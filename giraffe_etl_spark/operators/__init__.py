@@ -6,7 +6,11 @@ from .dedup import (
     simhash_dedup,
     simhash_expr,
 )
+from .classify import DEFAULT_RULES, classify_expr, classify_join, rules_df
+from .enrich import enrich_hosts, geo_table, reenrich_stale
+from .keyset import dense_ids, dense_ids_ordered
 from .similarity import brute_force_topk, embedding_neardup_pairs, lsh_topk
+from .weblog import parse_weblog, weblog_stats
 from .textstats import (
     char_stats,
     token_count_expr,
@@ -32,4 +36,15 @@ __all__ = [
     "with_fingerprint",
     "char_stats",
     "token_count_expr",
+    "classify_expr",
+    "classify_join",
+    "rules_df",
+    "DEFAULT_RULES",
+    "enrich_hosts",
+    "geo_table",
+    "reenrich_stale",
+    "dense_ids",
+    "dense_ids_ordered",
+    "parse_weblog",
+    "weblog_stats",
 ]

@@ -73,26 +73,30 @@ def decode_features(media: DataFrame) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for r in pdf.itertuples(index=False):
-                payload = bytes(r.payload) if r.payload is not None else b""
-                dec = _DECODERS.get(r.kind)
+            # columnar construction: only the codec call itself is
+            # per-row (inherent); n_bytes / checksum are C-speed over
+            # the raw bytes and the output is built as column arrays
+            payloads = [
+                bytes(p) if p is not None else b"" for p in pdf["payload"]
+            ]
+            decs = []
+            for kind, payload in zip(pdf["kind"], payloads):
+                dec = _DECODERS.get(kind)
                 try:
-                    d = dec(payload) if dec else None
+                    decs.append(dec(payload) if dec else None)
                 except Exception:
-                    d = None
-                out.append(
-                    {
-                        "media_id": r.media_id,
-                        "kind": r.kind,
-                        "n_bytes": len(payload),
-                        "checksum": zlib.crc32(payload),
-                        "width": d["width"] if d else None,
-                        "height": d["height"] if d else None,
-                        "feature": d["feature"] if d else None,
-                    }
-                )
-            yield pd.DataFrame(out)
+                    decs.append(None)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": [len(p) for p in payloads],
+                    "checksum": [zlib.crc32(p) for p in payloads],
+                    "width": [d["width"] if d else None for d in decs],
+                    "height": [d["height"] if d else None for d in decs],
+                    "feature": [d["feature"] if d else None for d in decs],
+                }
+            )
 
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 

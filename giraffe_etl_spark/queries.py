@@ -501,10 +501,215 @@ def lang_tag_documents(spark, sf_dir):
 
 
 def media_features(spark, sf_dir):
-    from .operators.multimodal import decode_features, gen_media
+    """Multimodal decode plumbing, oracle-checkable.
 
-    media = gen_media(spark, 200)
-    return decode_features(media).orderBy("media_id")
+    Binary payloads are derived deterministically from the shared
+    ``documents`` table (ascii-projected text bytes stand in for an
+    opaque media blob; the container ships no codecs), run through the
+    ``decode_features`` mapInPandas stage, and the float32 histogram
+    feature is folded back to exact integer byte-class counts so the
+    output hashes stably and a DuckDB oracle can recompute it.
+    """
+    from .operators.multimodal import decode_features
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    s = F.regexp_replace(F.substring(F.col("text"), 1, 200), "[^ -~]", "")
+    media = docs.filter(F.col("doc_id") < 200).select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.encode(s, "UTF-8").alias("payload"),
+        F.lit(None)
+        .cast("struct<width:int,height:int,duration_ms:int,mime:string>")
+        .alias("meta"),
+    )
+    feats = decode_features(media)
+    # feature[k] = count(bytes%8==k)/n as float32; *n + round is exact
+    # for n <= 200 (rel. error ~1e-7 << 0.5/n)
+    hcols = [
+        F.round(F.element_at("feature", k + 1).cast("double") * F.col("n_bytes"))
+        .cast("bigint")
+        .alias(f"h{k}")
+        for k in range(8)
+    ]
+    return feats.select(
+        "media_id",
+        F.col("n_bytes").cast("bigint").alias("n_bytes"),
+        "width",
+        "height",
+        *hcols,
+    ).orderBy("media_id")
+
+
+def typed_convert_events(spark, sf_dir):
+    """importConversion analog: raw string stream -> typed + error capture.
+
+    A raw all-string view of ``events`` is derived with deterministic,
+    SQL-reproducible corruptions (empty user, non-numeric value,
+    unparseable ts), then converted back through the declarative
+    try_cast layer: ``user_id`` absorbs failures with default -1,
+    ``value``/``ts`` failures are captured as ``cast:<field>`` errors.
+    """
+    from .cdc.convert import FieldSpec, convert_typed
+
+    e = _t(spark, sf_dir, "events")
+    val_s = F.format_string("%.2f", F.col("value"))
+    raw = e.select(
+        "event_id",
+        F.when(F.col("event_id") % 41 == 0, F.lit(""))
+        .otherwise(F.col("user_id").cast("string"))
+        .alias("raw_user"),
+        F.when(F.col("event_id") % 37 == 0, F.concat(F.lit("x"), val_s))
+        .otherwise(val_s)
+        .alias("raw_value"),
+        F.when(F.col("event_id") % 43 == 0, F.lit("not-a-ts"))
+        .otherwise(F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+        .alias("raw_ts"),
+    )
+    specs = [
+        FieldSpec("user_id", "bigint", source="raw_user", default=-1),
+        FieldSpec("value", "double", source="raw_value"),
+        FieldSpec("ts", "timestamp", source="raw_ts", fmt="yyyy-MM-dd HH:mm:ss.SSSSSS"),
+    ]
+    conv = convert_typed(raw, specs, keep=("event_id",))
+    return conv.select(
+        "event_id",
+        "user_id",
+        F.round("value", 2).alias("value"),
+        "ts",
+        F.concat_ws(",", "_errors").alias("err"),
+    ).orderBy("event_id")
+
+
+def weblog_parse_stats(spark, sf_dir):
+    """TokenizerImporter analog: raw log lines -> typed + discard route.
+
+    Apache-combined-style lines are synthesized deterministically from
+    ``events`` (with a corrupt subset), parsed by the single-regex
+    weblog reader, and aggregated per (host, status); corrupt lines are
+    counted under host='_corrupt' — the oracle recomputes the expected
+    counts from the generating rule, so the parse itself is what is
+    being verified.
+    """
+    from .operators.weblog import parse_weblog, weblog_stats
+
+    e = _t(spark, sf_dir, "events")
+    status = F.when(F.col("event_id") % 17 == 0, F.lit(404)).otherwise(F.lit(200))
+    good = F.format_string(
+        'host%d.example.org - user%d [01/Jan/2024:00:00:00 +0000] '
+        '"GET /page/%d HTTP/1.1" %d %d',
+        F.col("user_id") % 20,
+        F.col("user_id"),
+        F.col("event_id"),
+        status,
+        F.col("event_id") % 1000,
+    )
+    line = F.when(
+        F.col("event_id") % 29 == 0,
+        F.concat(F.lit("corrupt line "), F.col("event_id").cast("string")),
+    ).otherwise(good)
+    return weblog_stats(parse_weblog(e.select(line.alias("line"))))
+
+
+def httpget_parse(spark, sf_dir):
+    """HttpGet analog: request line -> method/document/protocol + url.
+
+    The synthesized document carries a '..' segment and unsorted query
+    params so the normalizer's path folding + query sort are exercised
+    end-to-end on the synthesized URL.
+    """
+    from .functions.httpline import parse_http_get
+
+    e = _t(spark, sf_dir, "events")
+    line = F.format_string(
+        "host%d.example.org,GET /page/%d/../%d?b=2&a=1 HTTP/1.0",
+        F.col("user_id") % 20,
+        F.col("user_id"),
+        F.col("event_id"),
+    )
+    s = parse_http_get(line)
+    return e.select(
+        "event_id",
+        s["method"].alias("method"),
+        s["host"].alias("host"),
+        s["document"].alias("document"),
+        s["protocol"].alias("protocol"),
+        s["url"].alias("url"),
+    ).orderBy("event_id")
+
+
+def ua_classify(spark, sf_dir):
+    """UserAgent analog: rule-table classifier over synthetic UA strings.
+
+    Template 4 contains both 'Googlebot' and 'Android' — the priority
+    order of the rule table (first match wins) is part of what the
+    oracle checks; template 5 exercises the unknown fallback.
+    """
+    from .operators.classify import classify_expr
+
+    e = _t(spark, sf_dir, "events")
+    tpl = F.array(
+        F.lit("Mozilla/5.0 (Windows NT 10.0; Win64; x64) Chrome/120.0"),
+        F.lit("Mozilla/5.0 (Macintosh; Intel Mac OS X 13_1) Safari/605.1"),
+        F.lit("Mozilla/5.0 (iPhone; CPU iPhone OS 17_0) Safari/604.1"),
+        F.lit("Mozilla/5.0 (Linux; Android 14; Pixel 8) Chrome/120.0"),
+        F.lit("Mozilla/5.0 (compatible; Googlebot/2.1; Android) +bot.html"),
+        F.lit("curl/8.4.0"),
+    )
+    ua = F.element_at(tpl, (F.col("user_id") % 6 + 1).cast("int"))
+    cls = classify_expr(ua)
+    return (
+        e.select(
+            cls["family"].alias("family"),
+            cls["os"].alias("os"),
+            cls["device"].alias("device"),
+        )
+        .groupBy("family", "os", "device")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("family")
+    )
+
+
+def geoip_enrich(spark, sf_dir):
+    """GeoIP analog: broadcast dictionary enrichment, per-country rollup.
+
+    Hosts 50-59 are absent from the dictionary -> null geo fields (the
+    unmatched route), visible as the NULL-country row.
+    """
+    from .operators.enrich import enrich_hosts, geo_table
+
+    e = _t(spark, sf_dir, "events")
+    hosts = e.select(
+        F.concat(
+            F.lit("host"), (F.col("user_id") % 60).cast("string"), F.lit(".example.org")
+        ).alias("host")
+    )
+    enr = enrich_hosts(hosts, geo_table(spark, n_hosts=50))
+    return (
+        enr.groupBy("country")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("host").alias("n_hosts"),
+            F.sum("asn").alias("sum_asn"),
+        )
+        .orderBy("country")
+    )
+
+
+def doc_dense_ids(spark, sf_dir):
+    """NumberedKeyset analog: dense sequential ids, scalably.
+
+    Equal to ``row_number() OVER (ORDER BY lang, doc_id) - 1`` (the
+    oracle identity) but computed via range-repartition + per-partition
+    zip — no global-order window, no single-reducer stage.
+    """
+    from .operators.keyset import dense_ids_ordered
+
+    d = _t(spark, sf_dir, "documents")
+    out = dense_ids_ordered(d.select("doc_id", "lang"), ["lang", "doc_id"])
+    return out.select("doc_id", "lang", "dense_id").orderBy("doc_id")
 
 
 # ---- registry ---------------------------------------------------------------
@@ -537,4 +742,10 @@ QUERIES = {
     "embedding_neardup": embedding_neardup,
     "lang_tag_documents": lang_tag_documents,
     "media_features": media_features,
+    "typed_convert_events": typed_convert_events,
+    "weblog_parse_stats": weblog_parse_stats,
+    "httpget_parse": httpget_parse,
+    "ua_classify": ua_classify,
+    "geoip_enrich": geoip_enrich,
+    "doc_dense_ids": doc_dense_ids,
 }

@@ -51,9 +51,16 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         # local mode: the driver JVM hosts every task thread, so heap
-        # must be sized for cores-many concurrent tasks (join buffers +
-        # parquet writers each); 8g at 32 threads GC-thrashes
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        # scales with the requested core count (8g at 32 threads
+        # GC-thrashes; conversely a 24g heap at 2 cores faults in
+        # gigabytes of fresh pages this host serves very slowly).
+        # SPARK_DRIVER_MEM overrides.
+        .config(
+            "spark.driver.memory",
+            os.environ.get(
+                "SPARK_DRIVER_MEM", f"{min(24, max(8, (3 * cores) // 4))}g"
+            ),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )

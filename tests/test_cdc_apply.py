@@ -177,3 +177,59 @@ def test_window_dedup_mode_matches_agg(spark, tmp_root):
         ta.drop(columns=["html"]), tw.drop(columns=["html"])
     )
     assert_matches_oracle(a, pages, changes)
+
+
+def test_zipf_batch_engages_salted_path(spark, tmp_root):
+    """A skewed batch must actually take the hot-key salted path.
+
+    hot_frac=0.5 over 3 hot keys -> ~83 events/key vs auto threshold
+    max(64, 4*500/8)=250... so pin a threshold the skew exceeds, and
+    separately check the auto threshold engages at realistic skew.
+    """
+    cfg = ChangeGenConfig(n_keys=50, hot_frac=0.5, n_hot_keys=3)
+    changes = gen_changes(500, cfg)
+    pages = gen_pages(50)
+    w = CdcApplier(
+        spark, tmp_root + "/win", n_buckets=8, dedup_mode="window", hot_key_threshold=20
+    )
+    seed_pages(w.pages, spark.createDataFrame(pages))
+    res = w.apply_batch(spark_changes(spark, changes), batch_id=0)
+    assert res.hot_keys_detected >= 3, "salted path must engage on zipf skew"
+    assert_matches_oracle(w, pages, changes)
+    # lineage: the engagement is recorded in the metrics table
+    m = w.metrics.read().toPandas()
+    hot_rows = m[m.stage == "hot_keys"]
+    assert int(hot_rows["rows"].iloc[0]) >= 3
+
+
+def test_auto_threshold_engages_on_heavy_skew(spark, tmp_root):
+    """Default (auto) threshold: a key holding ~half the batch salts."""
+    cfg = ChangeGenConfig(n_keys=200, hot_frac=0.6, n_hot_keys=1)
+    changes = gen_changes(2000, cfg)
+    pages = gen_pages(0)
+    w = CdcApplier(spark, tmp_root + "/auto", n_buckets=8, dedup_mode="window")
+    seed_pages(
+        w.pages,
+        spark.createDataFrame(
+            pages, "url string, warc_ts timestamp, html binary, text string, lang string"
+        ),
+    )
+    res = w.apply_batch(spark_changes(spark, changes), batch_id=0)
+    assert res.hot_keys_detected >= 1
+    assert_matches_oracle(w, pages, changes)
+
+
+def test_empty_limit0_batch_keys_mode(spark, tmp_root):
+    """A .limit(0) batch (optimizer collapses the scan to an empty
+    LocalRelation, so the planning Observation never fires) must apply
+    as a clean zero-row batch, and the stream must keep working after.
+    """
+    pages = gen_pages(5)
+    a = CdcApplier(spark, tmp_root + "/l0", n_buckets=4)
+    seed_pages(a.pages, spark.createDataFrame(pages))
+    empty = spark_changes(spark, gen_changes(10, ChangeGenConfig(n_keys=5))).limit(0)
+    res = a.apply_batch(empty, batch_id=0)
+    assert res.rows_in == 0 and res.rows_quarantined == 0 and not res.skipped
+    changes = gen_changes(100, ChangeGenConfig(n_keys=5))
+    a.apply_batch(spark_changes(spark, changes), batch_id=1)
+    assert_matches_oracle(a, pages, changes)
