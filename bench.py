@@ -117,6 +117,7 @@ def run_cdc_bench(
         applier = CdcApplier(
             spark, root, n_buckets=n_buckets,
             dedup_mode=os.environ.get("SPARK_GRAFT_DEDUP", "window"),
+            materialize=os.environ.get("SPARK_GRAFT_MATERIALIZE", "keys"),
         )
         seed_pages(applier.pages, spark.createDataFrame(gen_pages(min(n_keys, 5000))))
         # stage the change stream as a persisted binlog BEFORE the timed
@@ -124,6 +125,17 @@ def run_cdc_bench(
         # log is benchmark-input production, not apply work
         log_path = os.path.join(root, "_changelog")
         stage_change_log(spark, log_path, n_events, cfg)
+        # One segment file = one scan task (the compressible synthetic
+        # html packs ~10x, so byte-based splitting would collapse the
+        # whole data plane to 1-2 tasks).  Identical conf at every
+        # parallelism level: split/open sizes are fixed constants, the
+        # task count is a property of the LOG, exactly like production
+        # where a 10^8-event batch spans hundreds of segments no matter
+        # the cluster size.
+        old_split = spark.conf.get("spark.sql.files.maxPartitionBytes")
+        old_open = spark.conf.get("spark.sql.files.openCostInBytes")
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(2 * 1024 * 1024))
+        spark.conf.set("spark.sql.files.openCostInBytes", str(128 * 1024))
         t0 = time.monotonic()
         report = replay(
             applier, spark, n_events=n_events, batch_size=batch_size, cfg=cfg,
@@ -136,6 +148,8 @@ def run_cdc_bench(
                     f"DEBUG batch={b.batch_id} wall_ms={b.wall_ms} "
                     f"phases={b.phase_ms}", file=sys.stderr
                 )
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old_split)
+        spark.conf.set("spark.sql.files.openCostInBytes", old_open)
         return report.events_total, report.wall_ms_total / 1000.0, wall
     finally:
         shutil.rmtree(root, ignore_errors=True)

@@ -33,7 +33,7 @@ from pyspark.sql.types import StructType
 
 from ..lake import Table
 from .plan import (
-    canonicalize,
+    batch_exprs,
     dedup_winners,
     dedup_winners_rank_join,
     dedup_winners_window,
@@ -43,6 +43,9 @@ from .plan import (
 )
 
 PAGES_PUBLIC = "url string, warc_ts timestamp, html binary, text string, lang string"
+# minimum per-key event count for a key to enter the hot-key candidate
+# harvest (matches the auto-threshold floor in _resolve_hot_threshold)
+_HOT_FLOOR = 64
 ENGINE_COLS = ["_lsn", "_deleted"]
 
 QUARANTINE_SCHEMA = (
@@ -144,6 +147,10 @@ class CdcApplier:
         self.hot_key_threshold = hot_key_threshold
         self.url_mode = url_mode
         self.materialize = materialize
+        # prebuilt (reason, canonical-url) expression pair: constructing
+        # the normalize tree costs ~1 s of driver-side py4j calls, a
+        # pure serial cost per batch if rebuilt — build once, reuse
+        self._exprs = batch_exprs(url_mode)
         pages_path = os.path.join(root, "pages")
         if Table.exists(pages_path):
             self.pages = Table.load(spark, pages_path)
@@ -185,7 +192,7 @@ class CdcApplier:
         # job; "batch" persists the full tagged batch MEMORY_AND_DISK.
         from pyspark import StorageLevel
 
-        tagged = tag_batch(changes, mode=self.url_mode)
+        tagged = tag_batch(changes, exprs=self._exprs)
         cached_batch = None
         if self.materialize == "batch":
             tagged = cached_batch = tagged.persist(StorageLevel.MEMORY_AND_DISK)
@@ -216,12 +223,9 @@ class CdcApplier:
                 obs, F.count(F.lit(1)).alias("n_total")
             )
             keys = key_stats(
-                canonicalize(
-                    base.filter(
-                        F.col("url").isNotNull() & (F.trim(F.col("url")) != "")
-                    ),
-                    mode=self.url_mode,
-                )
+                base.filter(
+                    F.col("url").isNotNull() & (F.trim(F.col("url")) != "")
+                ).withColumn("url", self._exprs[1])
             ).persist()
             exact_keys = False
         try:
@@ -241,23 +245,51 @@ class CdcApplier:
                 phases["canon_cache"] = int((time.monotonic() - t_c) * 1000)
 
             # planning job (fills the keys cache): winner count per
-            # bucket; in "keys" mode also total valid events (for the
-            # auto skew threshold) — one action for all of it
+            # bucket, total valid events (for the auto skew threshold),
+            # AND the per-bucket hottest keys — one action for all of
+            # it.  The hot-key harvest keeps only keys above the fixed
+            # floor and the top-8 per bucket: a key hot enough to
+            # dominate a reducer is by construction near the top of its
+            # bucket, so the salting candidate list rides the planning
+            # aggregate for free (no separate detection job, no
+            # broadcast exchange — the tiny list compiles to an isin).
             t_p = time.monotonic()
+            phases["setup"] = int((t_p - t0) * 1000)
+            hot_floor = (
+                self.hot_key_threshold
+                if self.hot_key_threshold
+                else _HOT_FLOOR
+            )
             plan_rows = (
                 keys.select(
                     self.pages.bucket_expr("url").alias("_bucket"),
                     F.col("_events"),
+                    F.col("url"),
                 )
                 .groupBy("_bucket")
                 .agg(
                     F.count(F.lit(1)).alias("cnt"),
                     F.sum(F.col("_events")).alias("ev"),
+                    F.slice(
+                        F.sort_array(
+                            F.collect_list(
+                                F.when(
+                                    F.col("_events") > hot_floor,
+                                    F.struct("_events", "url"),
+                                )
+                            ),
+                            asc=False,
+                        ),
+                        1,
+                        8,
+                    ).alias("top"),
                 )
                 .collect()
             )
             bucket_counts = {r["_bucket"]: r["cnt"] for r in plan_rows}
             n_valid = int(sum(r["ev"] for r in plan_rows))
+            t_o = time.monotonic()
+            phases["plan_collect"] = int((t_o - t_p) * 1000)
             if not exact_keys:
                 # total input rows observed on the planning scan itself.
                 # Observation.get asserts when the optimizer collapsed
@@ -302,21 +334,18 @@ class CdcApplier:
                 n_changes = n_valid + n_quar
 
             n_hot = 0
-            threshold = (
-                self._resolve_hot_threshold(n_valid)
-                if self.dedup_mode == "window"
-                else None
-            )
             if self.dedup_mode == "window":
-                hot = None
+                threshold = self._resolve_hot_threshold(n_valid)
+                hot_list = []
                 if threshold:
-                    hot = keys.filter(F.col("_events") > threshold).select("url")
-                    # small count on the CACHED keys frame — the salted
-                    # path's engagement is observable lineage
-                    n_hot = hot.count()
-                    if n_hot == 0:
-                        hot = None
-                winners = dedup_winners_window(valid, hot_keys=hot)
+                    hot_list = [
+                        t["url"]
+                        for r in plan_rows
+                        for t in (r["top"] or [])
+                        if t["_events"] > threshold
+                    ]
+                n_hot = len(hot_list)
+                winners = dedup_winners_window(valid, hot_keys=hot_list or None)
             elif self.dedup_mode == "agg":
                 winners = dedup_winners(valid)
             else:  # "rank_join": payload never shuffles pre-merge

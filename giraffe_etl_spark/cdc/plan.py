@@ -52,15 +52,14 @@ def split_quarantine(changes: DataFrame) -> tuple[DataFrame, DataFrame]:
     return valid, quarantined
 
 
-def tag_batch(changes: DataFrame, mode: str = "expr") -> DataFrame:
-    """Single-pass validity tagging + canonicalization (the cache shape).
+def batch_exprs(mode: str = "expr"):
+    """(reason, canonical-url) Column pair used by ``tag_batch``.
 
-    Adds ``_reason`` (null = valid) and replaces ``url`` with the
-    canonical CDC key for valid rows (quarantined rows keep the raw
-    url).  The apply stage persists THIS projection, so the normalize
-    expression is evaluated exactly once per event — quarantine
-    routing, keys-only planning, and the dedup+merge job all reread the
-    canonical batch from cache instead of re-deriving it.
+    Building the normalize expression tree costs ~1 s of driver-side
+    py4j round trips — a pure serial cost if rebuilt per batch.  Column
+    objects are immutable unresolved references, reusable across any
+    DataFrame with the named columns, so a long-lived applier builds
+    this pair ONCE and amortizes it over every batch it applies.
     """
     reason = (
         F.when(F.col("url").isNull() | (F.trim(F.col("url")) == ""), "null_url")
@@ -74,6 +73,22 @@ def tag_batch(changes: DataFrame, mode: str = "expr") -> DataFrame:
         from ..functions.url_expr import normalize_url_expr
 
         canon = normalize_url_expr(F.col("url"))
+    return reason, canon
+
+
+def tag_batch(changes: DataFrame, mode: str = "expr", exprs=None) -> DataFrame:
+    """Single-pass validity tagging + canonicalization (the cache shape).
+
+    Adds ``_reason`` (null = valid) and replaces ``url`` with the
+    canonical CDC key for valid rows (quarantined rows keep the raw
+    url).  The apply stage persists THIS projection, so the normalize
+    expression is evaluated exactly once per event — quarantine
+    routing, keys-only planning, and the dedup+merge job all reread the
+    canonical batch from cache instead of re-deriving it.
+
+    ``exprs``: a prebuilt ``batch_exprs`` pair (see its docstring).
+    """
+    reason, canon = exprs if exprs is not None else batch_exprs(mode)
     tagged = changes.withColumn("_reason", reason)
     return tagged.withColumn(
         "url",
@@ -193,16 +208,24 @@ def detect_hot_keys(
 
 def dedup_winners_window(
     valid: DataFrame,
-    hot_keys: DataFrame | None = None,
+    hot_keys=None,
     n_salts: int = 16,
 ) -> DataFrame:
     """row_number() formulation with explicit hot-key salting.
 
-    Cold keys: single window over (url).  Hot keys (from
-    ``detect_hot_keys``): phase 1 picks a winner per (url, salt) with
-    salt = pmod(hash(lsn), n_salts) — spreads one hot key over n_salts
-    reducers; phase 2 reduces the <= n_salts survivors per key.
+    Cold keys: single window over (url).  Hot keys: phase 1 picks a
+    winner per (url, salt) with salt = pmod(hash(lsn), n_salts) —
+    spreads one hot key over n_salts reducers; phase 2 reduces the
+    <= n_salts survivors per key.
+
+    ``hot_keys``: a small list of hot url strings (compiled into an
+    ``isin`` predicate — no extra job, no broadcast exchange; the apply
+    stage harvests the list from its planning aggregate for free) or a
+    DataFrame with a ``url`` column (broadcast semi/anti join — for
+    callers using ``detect_hot_keys`` standalone).
     """
+    if isinstance(hot_keys, (list, tuple)) and not hot_keys:
+        hot_keys = None
     if hot_keys is None:
         w = Window.partitionBy("url").orderBy(
             F.col("warc_ts").desc(), F.col("lsn").desc()
@@ -213,8 +236,13 @@ def dedup_winners_window(
             .drop("_rn")
         )
 
-    marked = valid.join(F.broadcast(hot_keys.select("url")), "url", "left_semi")
-    cold = valid.join(F.broadcast(hot_keys.select("url")), "url", "left_anti")
+    if isinstance(hot_keys, (list, tuple)):
+        is_hot = F.col("url").isin(list(hot_keys))
+        marked = valid.filter(is_hot)
+        cold = valid.filter(~is_hot)
+    else:
+        marked = valid.join(F.broadcast(hot_keys.select("url")), "url", "left_semi")
+        cold = valid.join(F.broadcast(hot_keys.select("url")), "url", "left_anti")
 
     w_cold = Window.partitionBy("url").orderBy(
         F.col("warc_ts").desc(), F.col("lsn").desc()

@@ -72,16 +72,31 @@ def replay(
 
 
 def stage_change_log(
-    spark: SparkSession, path: str, n_events: int, cfg: ChangeGenConfig | None = None
+    spark: SparkSession,
+    path: str,
+    n_events: int,
+    cfg: ChangeGenConfig | None = None,
+    segment_rows: int = 25_000,
 ) -> None:
     """Materialize the deterministic stream as a parquet change log.
 
     The real deployment tails a persisted binlog/WAL; this writes one,
-    ordered by row index so each batch's lsn range [3*lo, 3*hi) prunes
-    to a contiguous run of row groups on read.
+    split into ``segment_rows``-sized segment files (real binlogs are
+    segmented too).  Each segment covers a contiguous lsn range — the
+    generator is pure in the row index and ``spark.range`` slices the
+    index space contiguously per partition — so a batch's lsn-range
+    predicate prunes to whole segments via row-group statistics, AND
+    the scan parallelism inside one batch is ``rows / segment_rows``
+    tasks rather than one-task-per-128MB: with compressible html a
+    10^5-event range is a few MB on disk, and a single-row-group file
+    would serialize the entire canonicalize/dedup scan stage no matter
+    how many cores the cluster has.
     """
     cfg = cfg or ChangeGenConfig()
-    changes_df(spark, n_events, cfg).write.mode("overwrite").parquet(path)
+    n_seg = max(4, (n_events + segment_rows - 1) // segment_rows)
+    changes_df(spark, n_events, cfg, partitions=n_seg).write.mode(
+        "overwrite"
+    ).parquet(path)
 
 
 def parquet_log_source(path: str):

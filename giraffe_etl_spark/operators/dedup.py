@@ -232,32 +232,49 @@ def minhash_lsh_dedup(
 
 
 def simhash_expr(text_col: str, bits: int = 64, shingle_n: int = 3) -> F.Column:
-    """64-bit SimHash over word shingles, fully JVM-side.
+    """64-bit SimHash over word shingles, fully JVM-side, single pass.
 
-    For each bit b: sum over shingles of sign(bit b of xxhash64) —
-    positive -> bit set.  Expressed with aggregate() over the shingle
-    array per bit; bits folded into one bigint.
+    Semantics: bit b is set iff sum over distinct shingles of
+    sign(bit b of xxhash64(shingle)) is positive.
+
+    Shape: each shingle is hashed ONCE, then one aggregate() folds the
+    hash array into a ``bits``-wide vote vector (zip_with increments
+    every bit's counter from the same hash), and the vote vector is
+    folded to the bigint signature by Horner's rule in two 32-bit
+    halves — shiftleft by a constant, so no ANSI long-overflow on bit
+    63.  The naive formulation (one aggregate() pass per bit) costs
+    bits x n_shingles hashes and a 64x wider expression tree; this is
+    one hash per shingle and one pass.
     """
     sh = F.array_distinct(shingles(_normalized_text(text_col), shingle_n))
+    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+    positions = F.sequence(F.lit(0), F.lit(bits - 1))
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                positions,
+                lambda b: F.when(F.getbit(h, b) == 1, 1).otherwise(-1),
+            ),
+            lambda a, v: a + v,
+        ),
+    )
+    half = bits // 2
 
-    def voter(b: int):
-        # closure factory, not a lambda default arg (see minhash_signature)
-        return lambda acc, s: acc + F.when(
-            F.shiftright(F.xxhash64(s), b).bitwiseAND(F.lit(1)) == 1, 1
-        ).otherwise(-1)
-
-    bit_cols = []
-    for b in range(bits):
-        votes = F.aggregate(sh, F.lit(0), voter(b))
-        bit_cols.append(
-            F.when(votes > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
-                F.lit(0).cast("long")
-            )
+    def horner(bit_slice: F.Column) -> F.Column:
+        # MSB-first fold; each half stays within 32 bits, so the
+        # running value never overflows a long
+        return F.aggregate(
+            F.reverse(bit_slice),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc * 2 + F.when(v > 0, 1).otherwise(0),
         )
-    out = bit_cols[0]
-    for c in bit_cols[1:]:
-        out = out.bitwiseOR(c)
-    return out
+
+    lo = horner(F.slice(votes, 1, half))
+    hi = horner(F.slice(votes, half + 1, bits - half))
+    return F.shiftleft(hi, half).bitwiseOR(lo)
 
 
 def simhash_dedup(

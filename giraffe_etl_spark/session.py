@@ -49,7 +49,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_SPLIT_BYTES", "134217728"),
+        )
         # local mode: the driver JVM hosts every task thread, so heap
         # scales with the requested core count (8g at 32 threads
         # GC-thrashes; conversely a 24g heap at 2 cores faults in
