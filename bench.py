@@ -56,6 +56,12 @@ BENCH_QUERIES = [
     "embedding_neardup",
     "lang_tag_documents",
     "media_features",
+    "typed_convert_events",
+    "weblog_parse_stats",
+    "httpget_parse",
+    "ua_classify",
+    "geoip_enrich",
+    "doc_dense_ids",
 ]
 
 

@@ -305,35 +305,58 @@ class CdcApplier:
             # quarantine route (idempotent via its own batch watermark).
             # "batch" mode knows the count up front and skips the write
             # job for clean batches; "keys" mode learns the count from
-            # the committed parquet footers of the append itself.
+            # the committed parquet footers of the append itself.  The
+            # append is an INDEPENDENT job against a side table, so it
+            # runs on a driver thread concurrently with the merge —
+            # Spark's scheduler interleaves the two job DAGs across the
+            # same executors, hiding the quarantine job's fixed
+            # scheduling + commit latency entirely (order vs the pages
+            # commit does not matter: each commit is guarded by its own
+            # batch watermark, so any crash point replays idempotently).
             t_q = time.monotonic()
-            q_mark = f"stream.{self.stream_id}.last_batch"
-            q_last = int(self.quarantine.properties.get(q_mark, "-1"))
-            if q_last < batch_id and (cached_batch is None or n_quar > 0):
-                q_df = (
-                    tagged.filter(F.col("_reason").isNotNull())
-                    .withColumnRenamed("_reason", "reason")
-                    .withColumn("batch_id", F.lit(batch_id).cast("long"))
-                    .select(
-                        "lsn", "op", "url", "warc_ts", "html", "reason", "batch_id"
+            q_result: dict = {}
+
+            def _quarantine_route():
+                q_mark = f"stream.{self.stream_id}.last_batch"
+                q_last = int(self.quarantine.properties.get(q_mark, "-1"))
+                if q_last < batch_id and (cached_batch is None or n_quar > 0):
+                    q_df = (
+                        tagged.filter(F.col("_reason").isNotNull())
+                        .withColumnRenamed("_reason", "reason")
+                        .withColumn("batch_id", F.lit(batch_id).cast("long"))
+                        .select(
+                            "lsn", "op", "url", "warc_ts", "html", "reason", "batch_id"
+                        )
                     )
-                )
-                q_snap = self.quarantine.append(q_df, {q_mark: str(batch_id)})
-                if cached_batch is None:
-                    n_quar = sum(
-                        fi["rows"] for fs in q_snap.buckets.values() for fi in fs
-                    ) - sum(
-                        fi["rows"]
-                        for fs in self.quarantine.snapshot_at(
-                            q_snap.parent_id
-                        ).buckets.values()
-                        for fi in fs
-                    )
-            phases["quarantine"] = int((time.monotonic() - t_q) * 1000)
-            if exact_keys:
-                n_changes = n_valid + n_quar
+                    q_snap = self.quarantine.append(q_df, {q_mark: str(batch_id)})
+                    if cached_batch is None:
+                        q_result["n_quar"] = sum(
+                            fi["rows"] for fs in q_snap.buckets.values() for fi in fs
+                        ) - sum(
+                            fi["rows"]
+                            for fs in self.quarantine.snapshot_at(
+                                q_snap.parent_id
+                            ).buckets.values()
+                            for fi in fs
+                        )
+
+            import threading
+
+            q_err: list[BaseException] = []
+
+            def _quarantine_thread():
+                try:
+                    _quarantine_route()
+                except BaseException as e:  # surfaced after join
+                    q_err.append(e)
+                finally:
+                    q_result["ms"] = int((time.monotonic() - t_q) * 1000)
+
+            q_thread = threading.Thread(target=_quarantine_thread, daemon=True)
+            q_thread.start()
 
             n_hot = 0
+            aligned = False
             if self.dedup_mode == "window":
                 threshold = self._resolve_hot_threshold(n_valid)
                 hot_list = []
@@ -345,16 +368,56 @@ class CdcApplier:
                         if t["_events"] > threshold
                     ]
                 n_hot = len(hot_list)
+                if not hot_list:
+                    # bucket-aligned exchange: repartitioning on url with
+                    # exactly n_buckets partitions makes the shuffle
+                    # partitioner (pmod(murmur3(url), N)) IDENTICAL to the
+                    # table's bucket transform, so the window dedup, the
+                    # merge join AND the bucketed write all reuse this ONE
+                    # payload exchange — task i of the write holds exactly
+                    # bucket i (verified by overwrite_buckets' containment
+                    # check).  The salted hot-key path re-exchanges subsets
+                    # and loses the alignment, so it keeps the explicit
+                    # write clustering.
+                    valid = valid.repartition(
+                        self.pages.n_buckets(), F.col("url")
+                    )
+                    aligned = True
                 winners = dedup_winners_window(valid, hot_keys=hot_list or None)
             elif self.dedup_mode == "agg":
                 winners = dedup_winners(valid)
             else:  # "rank_join": payload never shuffles pre-merge
-                winners = dedup_winners_rank_join(valid, ranks=keys)
+                # the cached keys are only exact in "batch" mode; the
+                # keys-mode planning aggregate is a validity SUPERSET
+                # (op/ts/html checks skipped), and a key whose max
+                # (warc_ts, lsn) event is invalid would rank-join to
+                # zero valid rows — recompute exact ranks over ``valid``
+                # inside the merge job instead (a second tiny
+                # map-combined shuffle of (url, ts, lsn); payload still
+                # never shuffles).
+                winners = dedup_winners_rank_join(
+                    valid, ranks=keys if exact_keys else None
+                )
             staged = transform_winners(winners)
 
             result = self._merge(
-                staged, batch_id, lsn_range, phases, bucket_counts=bucket_counts
+                staged,
+                batch_id,
+                lsn_range,
+                phases,
+                bucket_counts=bucket_counts,
+                aligned=aligned,
             )
+            q_thread.join()
+            if q_err:
+                raise q_err[0]
+            n_quar = q_result.get("n_quar", n_quar)
+            # wall time of the quarantine job itself; it overlaps the
+            # planning/merge jobs, so it is NOT additive with the other
+            # phases
+            phases["quarantine"] = q_result.get("ms", 0)
+            if exact_keys:
+                n_changes = n_valid + n_quar
             result.rows_in = n_changes
             result.rows_quarantined = int(n_quar)
             result.hot_keys_detected = n_hot
@@ -393,6 +456,7 @@ class CdcApplier:
         lsn_range: tuple[int, int] | None,
         phases: dict | None = None,
         bucket_counts: dict[int, int] | None = None,
+        aligned: bool = False,
     ) -> ApplyResult:
         """Join winners against only the touched buckets; rewrite those.
 
@@ -433,6 +497,15 @@ class CdcApplier:
             return None
 
         phases = phases if phases is not None else {}
+        # exact winner count rides the write job for free; the planning
+        # bucket_counts are a validity SUPERSET in keys mode (a key
+        # whose only events are quarantined still plans its bucket), so
+        # they are correct for bucket selection but would overcount the
+        # "winners" lineage metric
+        from pyspark.sql import Observation
+
+        w_obs = Observation()
+        staged = staged.observe(w_obs, F.count(F.lit(1)).alias("n_winners"))
         src = staged.withColumn("_bucket", self.pages.bucket_expr("url"))
         persisted = None
         try:
@@ -452,52 +525,74 @@ class CdcApplier:
 
             target = self.pages.read(snap=snap, buckets=touched, with_bucket_col=True)
 
-            s_cols = F.struct(
-                F.col("url").alias("url"),
-                F.col("warc_ts").alias("warc_ts"),
-                F.col("lsn").alias("lsn"),
-                F.col("op").alias("op"),
-                F.col("_bucket").alias("_bucket"),
+            # FLAT prefixed layout: the s side keeps the ``url``
+            # attribute itself as the join key, so when the apply stage
+            # pre-aligned the batch (repartition(n_buckets, url)),
+            # Catalyst SEES that the join's required distribution is
+            # already satisfied — the winner payload is never
+            # re-shuffled (struct-packing would hide the attribute and
+            # force a fresh exchange).  The join output is then still
+            # physically clustered by pmod(murmur3(url), n_buckets) =
+            # the bucket transform, so the write needs no clustering
+            # exchange either (``aligned``): payload bytes cross the
+            # wire exactly once per batch.
+            s = src.select(
+                F.col("url"),
+                F.lit(True).alias("_s_present"),
+                F.col("warc_ts").alias("_s_warc_ts"),
+                F.col("lsn").alias("_s_lsn"),
+                F.col("op").alias("_s_op"),
+                F.col("_bucket").alias("_s_bucket"),
                 *[
                     (
                         sc.cast(col_type[c])
                         if (sc := src_col(c, src.columns)) is not None
                         else F.lit(None).cast(col_type[c])
-                    ).alias(c)
+                    ).alias(f"_s_{c}")
                     for c in payload_cols
                 ],
             )
-            s = src.select(s_cols.alias("s"))
-            t = target.select(F.struct(*[F.col(c) for c in target.columns]).alias("t"))
+            t = target.select(
+                F.col("url").alias("_t_url"),
+                F.col("warc_ts").alias("_t_warc_ts"),
+                F.col("_lsn").alias("_t_lsn"),
+                F.col("_deleted").alias("_t_deleted"),
+                F.col("_bucket").alias("_t_bucket"),
+                *[F.col(c).alias(f"_t_{c}") for c in payload_cols],
+            )
 
-            joined = s.join(t, F.col("s.url") == F.col("t.url"), "full_outer")
+            joined = s.join(t, F.col("url") == F.col("_t_url"), "full_outer")
 
-            s_wins = F.col("t").isNull() | (
-                F.col("s").isNotNull()
+            s_wins = F.col("_t_url").isNull() | (
+                F.col("_s_present").isNotNull()
                 & (
-                    (F.col("s.warc_ts") > F.col("t.warc_ts"))
+                    (F.col("_s_warc_ts") > F.col("_t_warc_ts"))
                     | (
-                        (F.col("s.warc_ts") == F.col("t.warc_ts"))
-                        & (F.col("s.lsn") > F.col("t._lsn"))
+                        (F.col("_s_warc_ts") == F.col("_t_warc_ts"))
+                        & (F.col("_s_lsn") > F.col("_t_lsn"))
                     )
                 )
             )
 
             merged = joined.select(
-                F.when(s_wins, F.col("s.url")).otherwise(F.col("t.url")).alias("url"),
-                F.when(s_wins, F.col("s.warc_ts"))
-                .otherwise(F.col("t.warc_ts"))
+                F.when(s_wins, F.col("url")).otherwise(F.col("_t_url")).alias("url"),
+                F.when(s_wins, F.col("_s_warc_ts"))
+                .otherwise(F.col("_t_warc_ts"))
                 .alias("warc_ts"),
                 *[
-                    F.when(s_wins, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
+                    F.when(s_wins, F.col(f"_s_{c}"))
+                    .otherwise(F.col(f"_t_{c}"))
+                    .alias(c)
                     for c in payload_cols
                 ],
-                F.when(s_wins, F.col("s.lsn")).otherwise(F.col("t._lsn")).alias("_lsn"),
-                F.when(s_wins, F.col("s.op") == "D")
-                .otherwise(F.col("t._deleted"))
+                F.when(s_wins, F.col("_s_lsn"))
+                .otherwise(F.col("_t_lsn"))
+                .alias("_lsn"),
+                F.when(s_wins, F.col("_s_op") == "D")
+                .otherwise(F.col("_t_deleted"))
                 .alias("_deleted"),
-                F.when(s_wins, F.col("s._bucket"))
-                .otherwise(F.col("t._bucket"))
+                F.when(s_wins, F.col("_s_bucket"))
+                .otherwise(F.col("_t_bucket"))
                 .alias("_bucket"),
             )
             # tombstones keep key+ordering info, null payload
@@ -518,13 +613,28 @@ class CdcApplier:
 
             props = {
                 f"stream.{self.stream_id}.last_batch": str(batch_id),
-                f"stream.{self.stream_id}.batch.{batch_id}.winners": str(n_winners),
+                # superset in keys mode (see w_obs comment): the count of
+                # PLANNED keys, not applied winners — exact winners land
+                # in the metrics table from the write-job observation
+                f"stream.{self.stream_id}.batch.{batch_id}.planned_keys": str(
+                    n_winners
+                ),
             }
             if lsn_range is not None:
                 props[f"stream.{self.stream_id}.last_lsn"] = str(lsn_range[1])
             t_w = time.monotonic()
-            new_snap = self.pages.overwrite_buckets(touched, merged, props, base=snap)
+            new_snap = self.pages.overwrite_buckets(
+                touched, merged, props, base=snap, clustered=aligned
+            )
             phases["merge_write"] = int((time.monotonic() - t_w) * 1000)
+            try:
+                n_winners = int(w_obs.get["n_winners"])
+            except Exception:
+                # Observation.get asserts when AQE's
+                # PropagateEmptyRelation pruned the (empty) winner
+                # subtree and the observe node never ran — which happens
+                # exactly when there are no winners
+                n_winners = 0
             # per-bucket lineage straight from the committed manifest
             # (parquet footer counts) — no extra Spark job
             per_bucket = [

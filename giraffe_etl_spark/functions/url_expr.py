@@ -14,9 +14,10 @@ no percent-encoded authority) and ``port`` in [0, 65535], the
 expression is byte-identical to the pure-Python normalizer
 (property-tested in tests/test_url_expr.py).  URLs outside the grammar
 — and in-grammar URLs whose port exceeds 65535, which urllib rejects —
-are returned trimmed-but-unchanged.  ``canonicalize(mode="hybrid")``
-routes the out-of-grammar remainder through the full-urllib pandas UDF
-so the whole batch matches the oracle.
+are returned trimmed-but-unchanged.  The CDC oracle
+(cdc/oracle.py) defines the canonical key with the same grammar guard
+(``normalize_url_simple``), so engine and oracle agree on EVERY input,
+in- or out-of-grammar.
 
 Performance note (measured, round 2): a naive single-Column build of
 this expression duplicates every shared subtree — the path-fold

@@ -269,7 +269,9 @@ class Table:
 
     # ---- write path --------------------------------------------------------
 
-    def _write_files(self, df: DataFrame) -> dict[str, list[dict]]:
+    def _write_files(
+        self, df: DataFrame, clustered: bool = False
+    ) -> dict[str, list[dict]]:
         """Write df (must carry ``_bucket``) into new immutable files.
 
         Returns bucket -> file-entry list.  The data is clustered on
@@ -279,20 +281,30 @@ class Table:
         footer reads here and every later scan of the bucket pay for
         the fragmentation.  (Iceberg analog: write.distribution-mode =
         hash on the bucket transform.)
+
+        ``clustered=True`` asserts the caller already arranged the
+        physical partitioning so that every task holds rows of at most
+        a few buckets (e.g. the CDC merge pipeline's bucket-aligned
+        ``repartition(n_buckets, url)`` — partitioner identical to the
+        bucket transform, one bucket per task): the write then inserts
+        NO exchange, and the payload is not shuffled again.
         """
         import pyarrow.parquet as pq
 
         out_dir = os.path.join(self.data_dir, uuid.uuid4().hex)
-        # hash-cluster on _bucket so each bucket's rows land wholly in
-        # ONE task (=> one file per bucket), but cap the task count at
-        # ~2x the available slots: a task covering several buckets
-        # still emits one file per bucket via partitionBy, and 32
-        # near-empty tasks would pay fixed per-task cost at low
-        # parallelism for nothing
-        par = self.spark.sparkContext.defaultParallelism
-        n_parts = min(self.n_buckets(), max(2 * par, 4))
-        clustered = df.repartition(n_parts, F.col("_bucket"))
-        clustered.write.partitionBy("_bucket").mode("overwrite").parquet(out_dir)
+        if clustered:
+            out = df
+        else:
+            # hash-cluster on _bucket so each bucket's rows land wholly
+            # in ONE task (=> one file per bucket), but cap the task
+            # count at ~2x the available slots: a task covering several
+            # buckets still emits one file per bucket via partitionBy,
+            # and 32 near-empty tasks would pay fixed per-task cost at
+            # low parallelism for nothing
+            par = self.spark.sparkContext.defaultParallelism
+            n_parts = min(self.n_buckets(), max(2 * par, 4))
+            out = df.repartition(n_parts, F.col("_bucket"))
+        out.write.partitionBy("_bucket").mode("overwrite").parquet(out_dir)
         result: dict[str, list[dict]] = {}
         sid = self.current_snapshot().schema_id
         for entry in os.listdir(out_dir):
@@ -384,15 +396,17 @@ class Table:
         df: DataFrame,
         properties_update: dict[str, str] | None = None,
         base: Snapshot | None = None,
+        clustered: bool = False,
     ) -> Snapshot:
         """Replace the file sets of ``bucket_ids`` with df's data.
 
         This is the MERGE commit primitive: the CDC planner computes the
         merged content of only the touched buckets and swaps those file
-        lists; untouched buckets carry over by reference.
+        lists; untouched buckets carry over by reference.  ``clustered``
+        — see ``_write_files``.
         """
         base = base or self.current_snapshot()
-        new_files = self._write_files(self._with_bucket(df))
+        new_files = self._write_files(self._with_bucket(df), clustered=clustered)
         touched = {str(b) for b in bucket_ids}
         if not set(new_files) <= touched:
             raise ValueError(

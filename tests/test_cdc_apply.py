@@ -63,6 +63,34 @@ def test_single_batch_apply_matches_oracle(spark, applier):
     assert_matches_oracle(applier, pages, changes)
 
 
+@pytest.mark.parametrize("dedup_mode", ["agg", "window", "rank_join"])
+@pytest.mark.parametrize("materialize", ["keys", "batch"])
+def test_apply_modes_match_oracle_with_malformed(
+    spark, tmp_root, dedup_mode, materialize
+):
+    """Every (dedup_mode x materialize) combo must match the oracle on a
+    stream with malformed rows.
+
+    Regression: in keys mode the cached planning ranks are a SUPERSET
+    (computed before op/ts/html validity); rank_join dedup must not use
+    them — a key whose max (warc_ts, lsn) event is invalid would join
+    zero valid rows and silently drop its valid events.
+    """
+    pages = gen_pages(30)
+    cfg = ChangeGenConfig(n_keys=30, malformed_frac=0.25)
+    changes = gen_changes(400, cfg)
+    a = CdcApplier(
+        spark,
+        tmp_root + f"/{dedup_mode}_{materialize}",
+        n_buckets=8,
+        dedup_mode=dedup_mode,
+        materialize=materialize,
+    )
+    seed_pages(a.pages, spark.createDataFrame(pages))
+    a.apply_batch(spark_changes(spark, changes), batch_id=0)
+    assert_matches_oracle(a, pages, changes)
+
+
 def test_multi_batch_apply_matches_oracle(spark, applier):
     pages = gen_pages(40)
     cfg = ChangeGenConfig(n_keys=40)
