@@ -390,6 +390,16 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN hid < 50 THEN 64512 + hid % 1024 END) AS sum_asn
             FROM h GROUP BY country ORDER BY country
         """,
+        "rdns_hosts": """
+            WITH ips AS (
+                SELECT '10.0.' || (user_id % 16) || '.' || (user_id % 100) AS ip,
+                       user_id
+                FROM events)
+            SELECT 'ptr-' || replace(ip, '.', '-') || '.example.org' AS host,
+                   count(*) AS n,
+                   count(DISTINCT user_id) AS n_users
+            FROM ips GROUP BY host ORDER BY n DESC, host LIMIT 25
+        """,
         "doc_dense_ids": """
             SELECT doc_id, lang,
                    row_number() OVER (ORDER BY lang, doc_id) - 1 AS dense_id

@@ -622,9 +622,18 @@ class CdcApplier:
             }
             if lsn_range is not None:
                 props[f"stream.{self.stream_id}.last_lsn"] = str(lsn_range[1])
+            if os.environ.get("SPARK_GRAFT_DEBUG"):
+                # debug-only probe: driver-side Catalyst analyze+optimize
+                # cost of the merge plan (a SERIAL per-batch cost that
+                # does not shrink with cores — watch it when chasing
+                # scaling efficiency).  The write below replans, so this
+                # measures, it does not pre-pay.
+                t_c = time.monotonic()
+                merged._jdf.queryExecution().executedPlan()
+                phases["catalyst_probe"] = int((time.monotonic() - t_c) * 1000)
             t_w = time.monotonic()
             new_snap = self.pages.overwrite_buckets(
-                touched, merged, props, base=snap, clustered=aligned
+                touched, merged, props, base=snap, clustered=aligned, phases=phases
             )
             phases["merge_write"] = int((time.monotonic() - t_w) * 1000)
             try:

@@ -33,6 +33,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 import uuid
 from dataclasses import dataclass, field
 
@@ -270,7 +271,7 @@ class Table:
     # ---- write path --------------------------------------------------------
 
     def _write_files(
-        self, df: DataFrame, clustered: bool = False
+        self, df: DataFrame, clustered: bool = False, phases: dict | None = None
     ) -> dict[str, list[dict]]:
         """Write df (must carry ``_bucket``) into new immutable files.
 
@@ -304,7 +305,11 @@ class Table:
             par = self.spark.sparkContext.defaultParallelism
             n_parts = min(self.n_buckets(), max(2 * par, 4))
             out = df.repartition(n_parts, F.col("_bucket"))
+        t_j = time.monotonic()
         out.write.partitionBy("_bucket").mode("overwrite").parquet(out_dir)
+        if phases is not None:
+            phases["write_job"] = int((time.monotonic() - t_j) * 1000)
+        t_f = time.monotonic()
         result: dict[str, list[dict]] = {}
         sid = self.current_snapshot().schema_id
         for entry in os.listdir(out_dir):
@@ -321,6 +326,8 @@ class Table:
                     result.setdefault(b, []).append(
                         {"path": p, "schema_id": sid, "rows": nrows}
                     )
+        if phases is not None:
+            phases["footers"] = int((time.monotonic() - t_f) * 1000)
         return result
 
     def _with_bucket(self, df: DataFrame) -> DataFrame:
@@ -397,6 +404,7 @@ class Table:
         properties_update: dict[str, str] | None = None,
         base: Snapshot | None = None,
         clustered: bool = False,
+        phases: dict | None = None,
     ) -> Snapshot:
         """Replace the file sets of ``bucket_ids`` with df's data.
 
@@ -406,7 +414,9 @@ class Table:
         — see ``_write_files``.
         """
         base = base or self.current_snapshot()
-        new_files = self._write_files(self._with_bucket(df), clustered=clustered)
+        new_files = self._write_files(
+            self._with_bucket(df), clustered=clustered, phases=phases
+        )
         touched = {str(b) for b in bucket_ids}
         if not set(new_files) <= touched:
             raise ValueError(

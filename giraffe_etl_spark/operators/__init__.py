@@ -9,6 +9,7 @@ from .dedup import (
 from .classify import DEFAULT_RULES, classify_expr, classify_join, rules_df
 from .enrich import enrich_hosts, geo_table, reenrich_stale
 from .keyset import dense_ids, dense_ids_ordered
+from .rdns import resolve_hosts, reverse_dns_expr, reverse_dns_udf
 from .similarity import brute_force_topk, embedding_neardup_pairs, lsh_topk
 from .weblog import parse_weblog, weblog_stats
 from .textstats import (
@@ -45,6 +46,9 @@ __all__ = [
     "reenrich_stale",
     "dense_ids",
     "dense_ids_ordered",
+    "resolve_hosts",
+    "reverse_dns_expr",
+    "reverse_dns_udf",
     "parse_weblog",
     "weblog_stats",
 ]

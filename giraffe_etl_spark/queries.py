@@ -698,6 +698,38 @@ def geoip_enrich(spark, sf_dir):
     )
 
 
+def rdns_hosts(spark, sf_dir):
+    """rDNS analog: vectorized PTR resolution + per-host rollup.
+
+    IPs are derived deterministically from user_id; the resolver is the
+    Arrow-batched pandas UDF (the real-resolver shape — see
+    operators/rdns.py), whose synthetic answer is also SQL-expressible
+    so the oracle can recompute it exactly.
+    """
+    from .operators.rdns import resolve_hosts
+
+    e = _t(spark, sf_dir, "events")
+    ips = e.select(
+        F.concat(
+            F.lit("10.0."),
+            (F.col("user_id") % 16).cast("string"),
+            F.lit("."),
+            (F.col("user_id") % 100).cast("string"),
+        ).alias("ip"),
+        "user_id",
+    )
+    return (
+        resolve_hosts(ips, "ip", mode="udf")
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy(F.desc("n"), "host")
+        .limit(25)
+    )
+
+
 def doc_dense_ids(spark, sf_dir):
     """NumberedKeyset analog: dense sequential ids, scalably.
 
@@ -747,5 +779,6 @@ QUERIES = {
     "httpget_parse": httpget_parse,
     "ua_classify": ua_classify,
     "geoip_enrich": geoip_enrich,
+    "rdns_hosts": rdns_hosts,
     "doc_dense_ids": doc_dense_ids,
 }

@@ -240,3 +240,24 @@ def test_reenrich_stale_ttl(spark):
     fresh = out["host2.example.org"]
     assert fresh["country"] == "keepme" and fresh["asn"] == 42
     assert fresh["enriched_at"] == t_fresh
+
+
+# ---- rDNS analog ------------------------------------------------------------
+
+def test_rdns_udf_expr_parity_and_dot_strip(spark):
+    """UDF and codegen-expr resolvers agree; ONE trailing dot stripped.
+
+    The raw synthetic PTR answer carries the trailing dot a real zone
+    returns (DNSResolver.java:36-55 strips it); both execution modes
+    must emit the dotless form.
+    """
+    from giraffe_etl_spark.operators.rdns import resolve_hosts
+
+    df = spark.createDataFrame(
+        [("10.0.1.7",), ("192.168.0.255",)], "ip string"
+    )
+    udf_rows = dict(resolve_hosts(df, "ip", mode="udf").collect())
+    expr_rows = dict(resolve_hosts(df, "ip", mode="expr").collect())
+    assert udf_rows == expr_rows
+    assert udf_rows["10.0.1.7"] == "ptr-10-0-1-7.example.org"
+    assert not udf_rows["192.168.0.255"].endswith(".")
