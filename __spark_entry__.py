@@ -43,8 +43,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: wrap(fn) for name, fn in QUERIES.items()}
 
 
+def _lang_vote_sql() -> str:
+    """DuckDB re-implementation of the tag_lang stopword vote.
+
+    Generated from the SAME stopword tables the UDF uses, so engine and
+    oracle cannot drift.  Tie-break matches tag_lang: highest score,
+    then lang-code sort order (list_sort over (-score, lang) structs).
+    """
+    from giraffe_etl_spark.functions.text import _LANG_STOPWORDS, _LANGS
+
+    scores, structs = [], []
+    for lang in _LANGS:
+        sw = ", ".join(f"'{w}'" for w in sorted(_LANG_STOPWORDS[lang]))
+        scores.append(
+            f"len(list_filter(words, w -> list_contains([{sw}], w))) AS s_{lang}"
+        )
+        structs.append(f"{{'neg': -s_{lang}, 'lang': '{lang}'}}")
+    greatest = ", ".join(f"s_{lang}" for lang in _LANGS)
+    return f"""
+        WITH toks AS (
+            SELECT n_chars, regexp_extract_all(lower(text), '[a-z]+') AS words
+            FROM documents),
+        scores AS (
+            SELECT n_chars, {", ".join(scores)} FROM toks),
+        tagged AS (
+            SELECT n_chars,
+                   CASE WHEN greatest({greatest}) <= 0 THEN 'und'
+                        ELSE list_sort([{", ".join(structs)}])[1].lang
+                   END AS lang_tag
+            FROM scores)
+        SELECT lang_tag, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM tagged GROUP BY lang_tag ORDER BY lang_tag
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "lang_vote_rollup": _lang_vote_sql(),
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2)                                    AS sum_qty,

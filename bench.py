@@ -55,12 +55,14 @@ BENCH_QUERIES = [
     "simhash_documents",
     "embedding_neardup",
     "lang_tag_documents",
+    "lang_vote_rollup",
     "media_features",
     "typed_convert_events",
     "weblog_parse_stats",
     "httpget_parse",
     "ua_classify",
     "geoip_enrich",
+    "rdns_hosts",
     "doc_dense_ids",
 ]
 
@@ -189,22 +191,30 @@ def main() -> None:
     times["cdc_replay"] = round(replay_sec, 3)
 
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "query-pack + CDC replay wall time",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-                "cdc": {
-                    "events": events,
-                    "apply_sec": round(apply_sec, 3),
-                    "events_per_sec": round(events / apply_sec, 1) if apply_sec else None,
-                },
-            }
-        )
-    )
+    out = {
+        "metric": "query-pack + CDC replay wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "cdc": {
+            "events": events,
+            "apply_sec": round(apply_sec, 3),
+            "events_per_sec": round(events / apply_sec, 1) if apply_sec else None,
+        },
+    }
+    # scaling-efficiency evidence (north rule): the most recent
+    # scripts/bench_scaling.py result, measured solo in fresh JVMs —
+    # embedded here so the per-round bench record carries it
+    scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "SCALING.json")
+    if os.path.exists(scaling_path):
+        try:
+            with open(scaling_path) as f:
+                out["scaling"] = json.load(f)
+        except Exception:
+            pass
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -500,6 +500,28 @@ def lang_tag_documents(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def lang_vote_rollup(spark, sf_dir):
+    """Per-language rollup of the stopword-vote tagger — hash-checkable.
+
+    Same ``tag_lang`` UDF as lang_tag_documents, but the output is
+    integer-only (counts + char sums per tag) so the DuckDB oracle —
+    which re-runs the identical vote with list lambdas — matches on
+    the value hash, proving the UDF semantics, not just row counts.
+    """
+    from .functions.udf import tag_lang_udf
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(tag_lang_udf(F.col("text")).alias("lang_tag"), "n_chars")
+        .groupBy("lang_tag")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("lang_tag")
+    )
+
+
 def media_features(spark, sf_dir):
     """Multimodal decode plumbing, oracle-checkable.
 
@@ -773,6 +795,7 @@ QUERIES = {
     "simhash_documents": simhash_documents,
     "embedding_neardup": embedding_neardup,
     "lang_tag_documents": lang_tag_documents,
+    "lang_vote_rollup": lang_vote_rollup,
     "media_features": media_features,
     "typed_convert_events": typed_convert_events,
     "weblog_parse_stats": weblog_parse_stats,

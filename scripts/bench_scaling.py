@@ -96,8 +96,10 @@ def main() -> None:
     )
     ap.add_argument("--rounds", type=int, default=3,
                     help="interleaved N/4N rounds; min per level is reported")
-    ap.add_argument("--reps", type=int, default=1,
-                    help="in-JVM repetitions per sample (min taken)")
+    ap.add_argument("--reps", type=int, default=2,
+                    help="in-JVM repetitions per sample (min taken; 2 so a "
+                    "hypervisor steal burst during either rep cannot poison "
+                    "the sample — rep 2 also runs warm-JIT)")
     ap.add_argument(
         "--batch", type=int, default=None,
         help="events per batch (default: all events in ONE batch — see "
@@ -140,6 +142,9 @@ def main() -> None:
     print(json.dumps(result))
 
     if not args.no_write:
+        # persisted for bench.py to embed in its per-round JSON record
+        with open(os.path.join(REPO, "SCALING.json"), "w") as f:
+            json.dump(result, f, indent=1)
         path = os.path.join(REPO, "BASELINE.md")
         with open(path, "a") as f:
             f.write(
