@@ -53,17 +53,15 @@ def get_spark(
             "spark.sql.files.maxPartitionBytes",
             os.environ.get("SPARK_GRAFT_SPLIT_BYTES", "134217728"),
         )
-        # local mode: the driver JVM hosts every task thread, so heap
-        # scales with the requested core count (8g at 32 threads
-        # GC-thrashes; conversely a 24g heap at 2 cores faults in
-        # gigabytes of fresh pages this host serves very slowly).
+        # local mode: one JVM hosts every task thread.  Measured on this
+        # host (120k-event CDC apply, local[32], warm JVM): a 24g heap
+        # is 10x SLOWER than 8g (7.5s vs 81s) — G1 sizes its young gen
+        # to the heap, and every young collection then touches GBs of
+        # fresh pages, which this VM's hypervisor serves glacially.  A
+        # flat 8g is the measured best across local[1..32]; it also
+        # matches a sane per-executor heap on a real cluster.
         # SPARK_DRIVER_MEM overrides.
-        .config(
-            "spark.driver.memory",
-            os.environ.get(
-                "SPARK_DRIVER_MEM", f"{min(24, max(8, (3 * cores) // 4))}g"
-            ),
-        )
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
