@@ -39,7 +39,6 @@ from .plan import (
     dedup_winners_window,
     key_stats,
     tag_batch,
-    transform_winners,
 )
 
 PAGES_PUBLIC = "url string, warc_ts timestamp, html binary, text string, lang string"
@@ -398,7 +397,17 @@ class CdcApplier:
                 winners = dedup_winners_rank_join(
                     valid, ranks=keys if exact_keys else None
                 )
-            staged = transform_winners(winners)
+            # the text/lang transform chain is FUSED into the merge
+            # (after the join) rather than applied here: an
+            # ArrowEvalPython node does not propagate its child's
+            # output partitioning (measured: a pandas UDF between the
+            # aligning exchange and the merge join makes Catalyst
+            # re-shuffle the winner payload through a redundant
+            # ENSURE_REQUIREMENTS exchange).  Post-join fusion keeps
+            # the payload on ONE exchange and still transforms only
+            # winner rows — target rows enter the UDF as nulls, so no
+            # target bytes cross the Arrow boundary.  See _merge.
+            staged = winners
 
             result = self._merge(
                 staged,
@@ -594,7 +603,48 @@ class CdcApplier:
                 F.when(s_wins, F.col("_s_bucket"))
                 .otherwise(F.col("_t_bucket"))
                 .alias("_bucket"),
+                s_wins.alias("_won"),
             )
+            # fused transform chain (see apply_batch): winner rows get
+            # text/lang recomputed from their html HERE, after the
+            # join, so no pandas-UDF node sits between the aligning
+            # exchange and the join.  The UDF inputs are nulled for
+            # non-winner rows — Arrow transfers null cells, not target
+            # payload — and target rows keep their stored text/lang.
+            # Skipped for any column the batch supplied itself (a
+            # pre-transformed feed binds through src_col as usual).
+            def cur_name(logical: str) -> str | None:
+                # rename-safe: the table field whose name HISTORY
+                # contains the logical name (same Iceberg field id)
+                for f in snap.schema_fields:
+                    if logical in hist_names.get(f["id"], []):
+                        return f["name"]
+                return None
+
+            live = F.col("_won") & ~F.col("_deleted")
+            text_c, lang_c, html_c = (
+                cur_name("text"), cur_name("lang"), cur_name("html"),
+            )
+            if (
+                text_c in payload_cols
+                and html_c in payload_cols
+                and src_col(text_c, src.columns) is None
+            ):
+                from ..functions.udf import extract_text_udf, tag_lang_udf
+
+                merged = merged.withColumn(
+                    text_c,
+                    F.when(
+                        live, extract_text_udf(F.when(live, F.col(html_c)))
+                    ).otherwise(F.col(text_c)),
+                )
+                if lang_c in payload_cols and src_col(lang_c, src.columns) is None:
+                    merged = merged.withColumn(
+                        lang_c,
+                        F.when(
+                            live, tag_lang_udf(F.when(live, F.col(text_c)))
+                        ).otherwise(F.col(lang_c)),
+                    )
             # tombstones keep key+ordering info, null payload
             merged = merged.select(
                 "url",
