@@ -49,6 +49,52 @@ def shingles(col: F.Column, n: int = 5) -> F.Column:
     ).otherwise(F.array(F.concat_ws(" ", words)))
 
 
+def hashed_word_frame(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(_id, _wh: array<long>) — every word hashed exactly once.
+
+    First stage of the fingerprinted shingle pipeline (see
+    ``hashed_shingle_frame``).  Callers persist this frame: the
+    windowing expression downstream references ``_wh`` as a BOUND
+    attribute of a cached relation, never as an inline subtree — a
+    collapsed projection would re-evaluate the whole word-hash array
+    inside each ``element_at`` lambda call, turning an O(W) pass into
+    O(W^2) per document.
+    """
+    return df.select(
+        F.col(id_col).alias("_id"),
+        F.transform(
+            F.split(_normalized_text(text_col), r"\s+"), lambda w: F.xxhash64(w)
+        ).alias("_wh"),
+    )
+
+
+def window_hash_expr(wh: F.Column, n: int = 5) -> F.Column:
+    """Fold each n-window of word hashes into one 64-bit shingle hash.
+
+    The string shingle formulation builds every n-word shingle as a
+    fresh string (O(words x n) bytes of concat) and downstream hashes
+    those strings 64 times for the minhash permutations.  Fingerprinted
+    shingles hash each word once, combine n word hashes per window
+    position, and every downstream permutation then hashes 16 fixed
+    bytes instead of an ~n-word string.  Set semantics (dedup, Jaccard)
+    are preserved up to 64-bit collisions — the standard web-scale
+    trade (Broder-style shingle fingerprints).
+
+    ``wh`` MUST be a bound attribute (see ``hashed_word_frame``).
+    """
+    cnt = F.size(wh)
+    idx = F.sequence(F.lit(1), F.greatest(cnt - (n - 1), F.lit(1)))
+    windowed = F.transform(
+        idx, lambda i: F.xxhash64(*[F.element_at(wh, i + k) for k in range(n)])
+    )
+    short = F.array(
+        F.aggregate(wh, F.lit(0).cast("long"), lambda acc, h: F.xxhash64(acc, h))
+    )
+    return F.array_distinct(F.when(cnt >= n, windowed).otherwise(short))
+
+
 def minhash_signature(shingle_col: F.Column, num_hashes: int = 64) -> F.Column:
     """num_hashes minhash values: min over xxhash64(shingle, seed=i).
 
@@ -77,6 +123,7 @@ def minhash_lsh_candidates(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 5,
+    sh_df: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate duplicate pairs (a < b) via banded minhash LSH.
 
@@ -84,10 +131,18 @@ def minhash_lsh_candidates(
     shuffle on band hash -> self-join within bucket.  The self-join is
     per-bucket, so cost is sum over buckets of |bucket|^2 — bounded by
     collision rate, not corpus size.
+
+    ``sh_df``: optional precomputed (_id, _sh) shingle frame (string or
+    fingerprinted-long shingles — the hashing below is type-generic);
+    pass one to share a single shingling pass with the Jaccard
+    verifier (see ``minhash_lsh_dedup``).
     """
     rows_per_band = num_hashes // bands
-    sh = F.array_distinct(shingles(_normalized_text(text_col), shingle_n))
-    shingled = df.select(F.col(id_col).alias("_id"), sh.alias("_sh"))
+    if sh_df is not None:
+        shingled = sh_df
+    else:
+        sh = F.array_distinct(shingles(_normalized_text(text_col), shingle_n))
+        shingled = df.select(F.col(id_col).alias("_id"), sh.alias("_sh"))
 
     def perm(i: int):
         return lambda s: F.xxhash64(s, F.lit(i))
@@ -134,16 +189,26 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 5,
     threshold: float = 0.8,
+    sh_df: DataFrame | None = None,
 ) -> DataFrame:
     """Verify candidate pairs with exact n-gram Jaccard similarity.
 
     Joins shingle sets onto the (small) candidate pair list — the
     expensive set intersection runs only on survivors of LSH.
+
+    ``sh_df``: optional precomputed (_id, _sh) shingle frame shared
+    with the candidate generator (fingerprinted-long shingles give the
+    same Jaccard up to 64-bit collisions).
     """
-    sh = df.select(
-        F.col(id_col).alias("_id"),
-        F.array_distinct(shingles(_normalized_text(text_col), shingle_n)).alias("_sh"),
-    )
+    if sh_df is not None:
+        sh = sh_df
+    else:
+        sh = df.select(
+            F.col(id_col).alias("_id"),
+            F.array_distinct(
+                shingles(_normalized_text(text_col), shingle_n)
+            ).alias("_sh"),
+        )
     a = sh.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "sh_a")
     b = sh.withColumnRenamed("_id", "id_b").withColumnRenamed("_sh", "sh_b")
     joined = candidates.join(a, "id_a").join(b, "id_b")
@@ -176,9 +241,23 @@ def minhash_lsh_dedup(
     Connected components over verified duplicate pairs via iterative
     min-label propagation (converges in O(log n) rounds; each round is
     one join + one aggregate — no driver-side loops over rows).
+
+    Shingling runs ONCE: words are hashed to longs (`hashed_word_frame`),
+    windows folded to 64-bit shingle fingerprints, and both the LSH
+    candidate generator and the Jaccard verifier read the same cached
+    frames — the dominant cost of the naive pipeline is shingling the
+    corpus twice and minhashing n-word strings 64 times each.
     """
-    cand = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, shingle_n)
-    edges = ngram_jaccard_pairs(df, cand, text_col, id_col, shingle_n, threshold)
+    whf = hashed_word_frame(df, text_col, id_col).persist()
+    sh_df = whf.select(
+        "_id", window_hash_expr(F.col("_wh"), shingle_n).alias("_sh")
+    ).persist()
+    cand = minhash_lsh_candidates(
+        df, text_col, id_col, num_hashes, bands, shingle_n, sh_df=sh_df
+    )
+    edges = ngram_jaccard_pairs(
+        df, cand, text_col, id_col, shingle_n, threshold, sh_df=sh_df
+    )
 
     # undirected edges as both directions; materialize ONCE — the loop
     # below must not re-run LSH + Jaccard verification per iteration
@@ -226,9 +305,13 @@ def minhash_lsh_dedup(
         drop = labels.filter(F.col("node") != F.col("label")).select(
             F.col("node").alias(id_col)
         )
+        # drop descends only from the localCheckpointed labels, so the
+        # caches released below are never re-derived by the lazy result
         return df.join(drop, id_col, "left_anti")
     finally:
         adj.unpersist()
+        sh_df.unpersist()
+        whf.unpersist()
 
 
 def simhash_expr(text_col: str, bits: int = 64, shingle_n: int = 3) -> F.Column:
