@@ -38,6 +38,7 @@ from .plan import (
     dedup_winners_rank_join,
     dedup_winners_window,
     key_stats,
+    key_stats_two_level,
     tag_batch,
 )
 
@@ -221,10 +222,15 @@ class CdcApplier:
             base = changes.select("url", "warc_ts", "lsn").observe(
                 obs, F.count(F.lit(1)).alias("n_total")
             )
-            keys = key_stats(
+            # two-level aggregate: normalize once per DISTINCT raw url,
+            # not once per event (see key_stats_two_level) — on a
+            # churn-heavy stream this removes most of the planning
+            # scan's regex cost
+            keys = key_stats_two_level(
                 base.filter(
                     F.col("url").isNotNull() & (F.trim(F.col("url")) != "")
-                ).withColumn("url", self._exprs[1])
+                ),
+                self._exprs[1],
             ).persist()
             exact_keys = False
         try:

@@ -149,6 +149,34 @@ def key_stats(valid: DataFrame) -> DataFrame:
     )
 
 
+def key_stats_two_level(raw: DataFrame, canon) -> DataFrame:
+    """``key_stats`` with canonicalization lifted above a raw-url agg.
+
+    A change stream has many events per key (that is why dedup-then-
+    merge exists), so normalizing every EVENT's url pays the regex
+    chain once per event.  Aggregating by the raw url first (map-side
+    combined — the same few-bytes-per-event shuffle ``key_stats``
+    already does), normalizing only the distinct raw urls that survive,
+    then re-aggregating by the canonical key computes the identical
+    result — counts sum, (warc_ts, lsn) maxes take the max of maxes —
+    with the normalize expression evaluated once per DISTINCT raw url
+    instead of once per event.  The second aggregate runs over one row
+    per distinct key, so its shuffle is noise.
+
+    ``raw``: (url, warc_ts, lsn) with the raw (non-canonical) url;
+    ``canon``: the canonicalization Column over ``url``.
+    """
+    per_raw = raw.groupBy("url").agg(
+        F.count(F.lit(1)).alias("_events"),
+        F.max(F.struct("warc_ts", "lsn")).alias("_r"),
+    )
+    return (
+        per_raw.withColumn("url", canon)
+        .groupBy("url")
+        .agg(F.sum("_events").alias("_events"), F.max("_r").alias("_r"))
+    )
+
+
 def dedup_winners_rank_join(valid: DataFrame, ranks: DataFrame | None = None) -> DataFrame:
     """Per-url winner via rank-only shuffle + join-back (payload-free).
 
