@@ -137,9 +137,19 @@ class CdcApplier:
         hot_key_threshold: int | None = None,
         url_mode: str = "expr",
         materialize: str = "keys",
+        adaptive: bool | None = False,
     ):
         if materialize not in ("keys", "batch"):
             raise ValueError(f"materialize must be 'keys' or 'batch': {materialize!r}")
+        # AQE has nothing to decide on the apply path — partition counts
+        # are pinned (the aligned exchange MUST be exactly n_buckets),
+        # skew is handled by explicit salting, and the broadcast-size
+        # call is made from static parquet stats.  What AQE does add is
+        # stage-by-stage scheduling + replanning latency: measured 7.4s
+        # -> 3.8s fixed cost per warm batch at local[4] with it off.
+        # ``adaptive``: False (default) = disable during apply_batch and
+        # restore after; True = force on; None = leave session setting.
+        self.adaptive = adaptive
         self.spark = spark
         self.root = root
         self.stream_id = stream_id
@@ -184,6 +194,23 @@ class CdcApplier:
             # exactly-once guard: replayed batch is a committed no-op
             return ApplyResult(batch_id=batch_id, skipped=True)
 
+        aqe_key = "spark.sql.adaptive.enabled"
+        aqe_old = self.spark.conf.get(aqe_key, "true")
+        if self.adaptive is not None:
+            self.spark.conf.set(aqe_key, str(bool(self.adaptive)).lower())
+        try:
+            return self._apply_batch_inner(changes, batch_id, lsn_range, t0)
+        finally:
+            if self.adaptive is not None:
+                self.spark.conf.set(aqe_key, aqe_old)
+
+    def _apply_batch_inner(
+        self,
+        changes: DataFrame,
+        batch_id: int,
+        lsn_range: tuple[int, int] | None,
+        t0: float,
+    ) -> ApplyResult:
         phases: dict[str, int] = {}
         # ONE projection over the source: validity tagging + canonical
         # key.  What gets materialized depends on ``self.materialize``
