@@ -82,10 +82,12 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=1, help="base parallelism N (runs N and 4N)")
     ap.add_argument(
-        "--events", type=int, default=1_000_000,
+        "--events", type=int, default=2_000_000,
         help="events in the single batch; must be large enough that the "
         "data plane dominates per-batch fixed costs (job scheduling, "
-        "commits) — ~50 core-seconds of parallel work or more",
+        "commits, ~2-4s/batch) — the production shape is 10^8-event "
+        "batches where fixed cost is noise, so the sandbox batch is "
+        "sized to keep it under ~15%% of the 4N-level runtime",
     )
     ap.add_argument(
         "--html-size", type=int, default=1024,
