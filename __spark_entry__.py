@@ -78,9 +78,75 @@ def _lang_vote_sql() -> str:
     """
 
 
+def _lang_tag_docs_sql() -> str:
+    """Per-document DuckDB oracle for (lang_tag, n_tokens, quality).
+
+    Generated from the same stopword tables and score formulas the UDFs
+    wrap (functions/text.py: tag_lang, token_count, quality_score), so
+    engine and oracle cannot drift.  Document text is printable ASCII
+    (verified over the test tables), so Python's unicode-aware \\w /
+    isalpha and DuckDB's ASCII classes agree.
+    """
+    from giraffe_etl_spark.functions.text import _LANG_STOPWORDS, _LANGS
+
+    scores, structs = [], []
+    for lang in _LANGS:
+        sw = ", ".join(f"'{w}'" for w in sorted(_LANG_STOPWORDS[lang]))
+        scores.append(
+            f"len(list_filter(lwords, w -> list_contains([{sw}], w))) AS s_{lang}"
+        )
+        structs.append(f"{{'neg': -s_{lang}, 'lang': '{lang}'}}")
+    greatest = ", ".join(f"s_{lang}" for lang in _LANGS)
+    en_sw = ", ".join(f"'{w}'" for w in sorted(_LANG_STOPWORDS["en"]))
+    return f"""
+        WITH t AS (
+            SELECT doc_id, text,
+                   regexp_extract_all(lower(text), '[a-z]+') AS lwords,
+                   list_filter(regexp_split_to_array(text, '\\s+'),
+                               x -> x <> '') AS words
+            FROM documents),
+        s AS (
+            SELECT doc_id, text, words, {", ".join(scores)} FROM t),
+        q AS (
+            SELECT doc_id,
+                   CASE WHEN greatest({greatest}) <= 0 THEN 'und'
+                        ELSE list_sort([{", ".join(structs)}])[1].lang
+                   END AS lang_tag,
+                   CAST(len(list_filter(
+                       regexp_split_to_array(
+                           regexp_replace(text, '([^\\w\\s])', ' \\1 ', 'g'),
+                           '\\s+'),
+                       x -> x <> '')) AS INTEGER) AS n_tokens,
+                   length(text) AS n,
+                   length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+                   CASE WHEN len(words) > 0
+                        THEN list_aggregate(
+                                 list_transform(words, w -> length(w)), 'sum')
+                             / CAST(len(words) AS DOUBLE)
+                        ELSE 0.0 END AS mean_wlen,
+                   CASE WHEN len(words) > 0
+                        THEN len(list_filter(
+                                 words, w -> list_contains([{en_sw}], lower(w))))
+                             / CAST(len(words) AS DOUBLE)
+                        ELSE 0.0 END AS sw_ratio
+            FROM s)
+        SELECT doc_id, lang_tag, n_tokens,
+               CASE WHEN n = 0 THEN 0.0 ELSE round((
+                   (CASE WHEN n BETWEEN 200 AND 100000 THEN 1.0
+                         WHEN n < 200 THEN n / 200.0 ELSE 0.5 END)
+                 + least(1.0, (n_alpha / CAST(n AS DOUBLE)) / 0.7)
+                 + (CASE WHEN mean_wlen BETWEEN 3.0 AND 12.0
+                         THEN 1.0 ELSE 0.3 END)
+                 + least(1.0, sw_ratio / 0.1)
+               ) / 4.0, 6) END AS quality
+        FROM q ORDER BY doc_id
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "lang_vote_rollup": _lang_vote_sql(),
+        "lang_tag_documents": _lang_tag_docs_sql(),
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2)                                    AS sum_qty,

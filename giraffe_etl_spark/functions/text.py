@@ -19,6 +19,7 @@ randomness.
 
 from __future__ import annotations
 
+import math
 import re
 import zlib
 
@@ -162,7 +163,12 @@ def quality_score(text: str | None) -> float | None:
     alpha_score = min(1.0, alpha_ratio / 0.7)
     wlen_score = 1.0 if 3.0 <= mean_wlen <= 12.0 else 0.3
     sw_score = min(1.0, sw_ratio / 0.1)
-    return round((len_score + alpha_score + wlen_score + sw_score) / 4.0, 6)
+    score = (len_score + alpha_score + wlen_score + sw_score) / 4.0
+    # half-UP to 6 dp (not Python's banker's round): SQL engines round
+    # half away from zero, and the DuckDB oracle must reproduce this
+    # value bit-for-bit (a dyadic score like 0.7890625 would otherwise
+    # round to ...62 here and ...63 there)
+    return math.floor(score * 1e6 + 0.5) / 1e6
 
 
 def fingerprint64(text: str | None) -> int | None:
