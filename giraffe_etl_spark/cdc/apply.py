@@ -502,10 +502,21 @@ class CdcApplier:
     ) -> ApplyResult:
         """Join winners against only the touched buckets; rewrite those.
 
-        The join is a plain equi-join on the canonical key; at cluster
-        scale AQE picks broadcast when the winner set is small and
-        splits skewed partitions otherwise.  Bucket pruning bounds the
-        rewrite to touched buckets — the 100 TB survival property.
+        The join is a plain equi-join on the canonical key; the
+        broadcast-vs-shuffle call comes from static parquet stats.
+        Bucket pruning bounds the rewrite to touched buckets — the
+        100 TB survival property.
+
+        Known scale consideration: the TARGET side of the join (the
+        touched buckets' current rows) re-partitions on url each batch,
+        because a plain parquet scan cannot declare that its files are
+        already bucketed by pmod(hash(url), N).  The cost is bounded by
+        the touched-bucket payload, not the table, and is the same
+        trade Iceberg MERGE makes without storage-partitioned join.
+        The production path to eliminate it is a DataSource-v2
+        connector reporting KeyGroupedPartitioning (Spark SPJ) or a
+        metastore-bucketed table — plumbing, not a plan change: the
+        source side already aligns to the identical partitioning.
 
         ``bucket_counts`` (bucket -> distinct winner keys, precomputed
         by the apply stage's single planning aggregate) enables the

@@ -500,6 +500,30 @@ class Table:
 
     # ---- maintenance -----------------------------------------------------------
 
+    def compact_files(self, max_files_per_bucket: int = 4) -> list[int]:
+        """Bin-pack buckets that accumulated more than N files.
+
+        Every append/merge commit adds at most one file per touched
+        bucket, so a long-running stream fragments its side tables
+        (quarantine, metrics) and any append-mode bucket; scans then
+        pay per-file open cost and the driver pays per-file footer
+        reads.  This rewrites only the fragmented buckets — one
+        clustered write job — and as a side effect migrates their rows
+        to the CURRENT schema id (the read projects historical files
+        through the field-id mapping), exactly like Iceberg's
+        rewrite_data_files.  Returns the compacted bucket ids.
+        """
+        snap = self.current_snapshot()
+        fragmented = [
+            int(b) for b, fs in snap.buckets.items()
+            if len(fs) > max_files_per_bucket
+        ]
+        if not fragmented:
+            return []
+        df = self.read(snap=snap, buckets=fragmented, with_bucket_col=True)
+        self.overwrite_buckets(fragmented, df, base=snap)
+        return sorted(fragmented)
+
     def expire_orphan_files(self) -> int:
         """Delete data files not referenced by the current snapshot.
 

@@ -150,3 +150,38 @@ def test_expire_orphan_files(spark, tmp_root):
     removed = t.expire_orphan_files()
     assert removed > 0
     assert t.read().count() == 10  # current snapshot intact
+
+
+def test_compact_files_binpacks_fragmented_buckets(spark, tmp_root):
+    t = make_table(spark, tmp_root, n_buckets=2)
+    # 6 appends -> up to 6 files per bucket
+    for i in range(6):
+        t.append(kv_df(spark, [(f"k{i}", i), (f"j{i}", 10 + i)]))
+    before = t.current_snapshot()
+    frag = [b for b, fs in before.buckets.items() if len(fs) > 2]
+    assert frag, "appends must fragment at least one bucket"
+    rows_before = {(r.k, r.v) for r in t.read().collect()}
+
+    compacted = t.compact_files(max_files_per_bucket=2)
+    assert compacted, "fragmented buckets must be compacted"
+    after = t.current_snapshot()
+    for b in compacted:
+        assert len(after.buckets[str(b)]) == 1, "compacted bucket = one file"
+    assert {(r.k, r.v) for r in t.read().collect()} == rows_before
+    # idempotent: nothing left to compact
+    assert t.compact_files(max_files_per_bucket=2) == []
+
+
+def test_compact_files_migrates_schema(spark, tmp_root):
+    t = make_table(spark, tmp_root, n_buckets=1)
+    for i in range(5):
+        t.append(kv_df(spark, [(f"k{i}", i)]))
+    t.add_column("w", "double")
+    assert t.compact_files(max_files_per_bucket=1)
+    snap = t.current_snapshot()
+    sid = snap.schema_id
+    for fs in snap.buckets.values():
+        for fi in fs:
+            assert fi["schema_id"] == sid, "compaction rewrites to current schema"
+    got = t.read().orderBy("k").collect()
+    assert [r.w for r in got] == [None] * 5
