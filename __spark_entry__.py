@@ -143,10 +143,105 @@ def _lang_tag_docs_sql() -> str:
     """
 
 
+def _simhash_md5_sql(bits: int = 32, shingle_n: int = 3) -> str:
+    """DuckDB re-implementation of simhash_md5_expr (operators/dedup.py).
+
+    Same algorithm, same hash: distinct 3-word shingles over
+    whitespace-normalized text, per-shingle 32-bit value from the md5
+    hex prefix (md5 is bit-identical across engines), +-1 votes per bit,
+    sign fold to the signature.
+    """
+    n = shingle_n
+    return f"""
+        WITH t AS (
+          SELECT doc_id,
+                 regexp_split_to_array(
+                     regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                     ' ') AS w
+          FROM documents),
+        sh AS (
+          SELECT doc_id,
+                 list_distinct(CASE WHEN len(w) >= {n}
+                    THEN list_transform(range(1, len(w) - {n - 2}),
+                                        i -> array_to_string(w[i:i+{n - 1}], ' '))
+                    ELSE [array_to_string(w, ' ')] END) AS s
+          FROM t),
+        v AS (
+          SELECT doc_id,
+                 list_transform(
+                     s, x -> CAST(concat('0x', substr(md5(x), 1, 8)) AS BIGINT)
+                 ) AS vals
+          FROM sh),
+        votes AS (
+          SELECT doc_id,
+                 list_transform(range(0, {bits}), b -> list_sum(
+                     list_transform(vals, vv ->
+                         CASE WHEN (vv // (1::BIGINT << b)) % 2 = 1
+                              THEN 1 ELSE -1 END))) AS vt
+          FROM v)
+        SELECT doc_id,
+               CAST(list_sum(list_transform(range(0, {bits}), b ->
+                   CASE WHEN vt[b + 1] > 0 THEN (1::BIGINT << b)
+                        ELSE 0 END)) AS BIGINT) AS simhash32
+        FROM votes ORDER BY doc_id
+    """
+
+
+def _cdc_replay_sql() -> str:
+    """DuckDB oracle for the full CDC replay (queries.cdc_replay_synthetic).
+
+    Recomputes, from the same ``events`` columns the change stream is
+    derived from: the quarantine rule (op='X' rows excluded), the
+    per-url last-writer-wins winner (window over warc_ts desc, lsn
+    desc — the dedup + cross-batch MERGE fold collapsed into one
+    window, valid because the final state per key is the global max),
+    the text the html extractor must emit (title + h1 + body with tags
+    stripped and whitespace collapsed), and the stopword-vote language
+    tag (fillers chosen so the vote is unambiguous; shared via
+    queries.CDC_FILLERS).
+    """
+    from giraffe_etl_spark.queries import CDC_FILLERS
+
+    fillers = ", ".join(f"'{t}'" for _, t in CDC_FILLERS)
+    langs = ", ".join(f"'{code}'" for code, _ in CDC_FILLERS)
+    return f"""
+        WITH ch AS (
+          SELECT event_id AS lsn,
+                 'http://host' || CAST(user_id % 20 AS VARCHAR)
+                   || '.example.org/page/' || CAST(user_id AS VARCHAR) AS url,
+                 ts AS warc_ts,
+                 CASE WHEN event_id % 97 = 0 THEN 'X'
+                      WHEN event_id % 10 < 6 THEN 'I'
+                      WHEN event_id % 10 < 9 THEN 'U' ELSE 'D' END AS op,
+                 [{fillers}][CAST(user_id % 5 AS INTEGER) + 1] AS filler,
+                 [{langs}][CAST(user_id % 5 AS INTEGER) + 1] AS lang
+          FROM events),
+        valid AS (SELECT * FROM ch WHERE op <> 'X'),
+        win AS (
+          SELECT *, row_number() OVER (
+                     PARTITION BY url ORDER BY warc_ts DESC, lsn DESC) AS rn
+          FROM valid)
+        SELECT url, warc_ts,
+               'doc ' || CAST(lsn AS VARCHAR) || ' ' || url || ' '
+                 || filler || ' rev ' || CAST(lsn AS VARCHAR) AS text,
+               lang
+        FROM win WHERE rn = 1 AND op <> 'D'
+        ORDER BY url
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "lang_vote_rollup": _lang_vote_sql(),
         "lang_tag_documents": _lang_tag_docs_sql(),
+        "simhash_documents": _simhash_md5_sql(),
+        "cdc_replay_synthetic": _cdc_replay_sql(),
+        "minhash_dedup_documents": """
+            SELECT doc_id FROM documents
+            UNION ALL
+            SELECT doc_id + 200000 AS doc_id FROM documents WHERE doc_id % 5 = 1
+            ORDER BY doc_id
+        """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2)                                    AS sum_qty,
@@ -471,16 +566,28 @@ def oracle_sql() -> dict[str, str]:
                        WHEN 2 THEN 'safari_mobile' WHEN 3 THEN 'chrome_mobile'
                        WHEN 4 THEN 'googlebot' ELSE 'unknown' END AS family,
                      CASE CAST(user_id % 6 AS INTEGER)
+                       WHEN 0 THEN '120.0' WHEN 1 THEN '605.1'
+                       WHEN 2 THEN '604.1' WHEN 3 THEN '120.0'
+                       WHEN 4 THEN '2.1' END AS version,
+                     CASE CAST(user_id % 6 AS INTEGER)
+                       WHEN 0 THEN 'en-us' END AS language,
+                     CASE CAST(user_id % 6 AS INTEGER)
                        WHEN 0 THEN 'windows' WHEN 1 THEN 'macos'
                        WHEN 2 THEN 'ios' WHEN 3 THEN 'android'
                        WHEN 4 THEN 'bot' ELSE 'unknown' END AS os,
+                     CASE CAST(user_id % 6 AS INTEGER)
+                       WHEN 0 THEN '10.0' WHEN 1 THEN '13_1'
+                       WHEN 2 THEN '17_0' WHEN 3 THEN '14' END AS os_version,
+                     CASE CAST(user_id % 6 AS INTEGER)
+                       WHEN 2 THEN 'iphone' WHEN 3 THEN 'Pixel 8' END AS model,
                      CASE CAST(user_id % 6 AS INTEGER)
                        WHEN 0 THEN 'desktop' WHEN 1 THEN 'desktop'
                        WHEN 2 THEN 'mobile' WHEN 3 THEN 'mobile'
                        WHEN 4 THEN 'bot' ELSE 'unknown' END AS device
               FROM events)
-            SELECT family, os, device, count(*) AS n
-            FROM c GROUP BY family, os, device ORDER BY family
+            SELECT family, version, language, os, os_version, model, device,
+                   count(*) AS n
+            FROM c GROUP BY ALL ORDER BY family, os
         """,
         "geoip_enrich": """
             WITH h AS (SELECT user_id % 60 AS hid FROM events)
@@ -489,7 +596,10 @@ def oracle_sql() -> dict[str, str]:
                    END AS country,
                    count(*) AS n,
                    count(DISTINCT hid) AS n_hosts,
-                   sum(CASE WHEN hid < 50 THEN 64512 + hid % 1024 END) AS sum_asn
+                   sum(CASE WHEN hid < 50 THEN 64512 + hid % 1024 END) AS sum_asn,
+                   count(DISTINCT CASE WHEN hid < 50
+                         THEN 'c' || CAST(hid % 13 AS VARCHAR) END) AS n_cities,
+                   sum(CASE WHEN hid < 50 THEN hid - 89.5 END) AS sum_lat
             FROM h GROUP BY country ORDER BY country
         """,
         "rdns_hosts": """
@@ -502,13 +612,32 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT user_id) AS n_users
             FROM ips GROUP BY host ORDER BY n DESC, host LIMIT 25
         """,
+        "keyset_assign_documents": """
+            WITH k AS (
+              SELECT doc_id,
+                     source || '-' || CAST(doc_id % 37 AS VARCHAR) AS key
+              FROM documents),
+            b1 AS (SELECT DISTINCT key FROM k WHERE doc_id % 2 = 0),
+            b2new AS (
+              SELECT DISTINCT key FROM k
+              WHERE key NOT IN (SELECT key FROM b1)),
+            a1 AS (
+              SELECT key,
+                     row_number() OVER (ORDER BY key) - 1 AS dense_id
+              FROM b1),
+            a2 AS (
+              SELECT key,
+                     (SELECT count(*) FROM b1)
+                       + row_number() OVER (ORDER BY key) - 1 AS dense_id
+              FROM b2new)
+            SELECT key, CAST(dense_id AS BIGINT) AS dense_id FROM a1
+            UNION ALL
+            SELECT key, CAST(dense_id AS BIGINT) AS dense_id FROM a2
+            ORDER BY key
+        """,
         "doc_dense_ids": """
             SELECT doc_id, lang,
                    row_number() OVER (ORDER BY lang, doc_id) - 1 AS dense_id
             FROM documents ORDER BY doc_id
         """,
-        # cdc_replay_synthetic, minhash_dedup_documents, simhash_documents,
-        # lang_tag_documents: custom engine semantics
-        # (lake MERGE / xxhash64 LSH / pandas UDF chain) not expressible
-        # in DuckDB SQL -> rows-only check by design.
     }

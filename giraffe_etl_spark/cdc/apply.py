@@ -5,7 +5,11 @@ Pipeline per batch (SURVEY.md §3.4):
     changes --split--> quarantine table (dead letter, with reasons)
         \--valid--> canonicalize(url) --> dedup winners (1 shuffle)
                     --> vectorized transforms (text, lang)
-                    --> MERGE into pages (join only the touched buckets)
+                    --> MERGE into pages:
+                          mor (default): winners append as DELTA files,
+                            O(batch) bytes, zero target reads; reads
+                            reconcile per key (lake/table.py)
+                          cow: full-outer join + touched-bucket rewrite
                     --> single atomic commit: data + offsets + metrics
 
 Exactly-once: the batch id / LSN range is written into the *same*
@@ -69,7 +73,20 @@ def create_pages_table(
     spark: SparkSession, path: str, n_buckets: int = 32
 ) -> Table:
     return Table.create(
-        spark, path, pages_internal_schema(), bucket_key="url", n_buckets=n_buckets
+        spark,
+        path,
+        pages_internal_schema(),
+        bucket_key="url",
+        n_buckets=n_buckets,
+        properties={
+            # merge-on-read reconcile spec: winner per url by LWW on
+            # (warc_ts, _lsn) — the same total order the merge uses
+            "merge.key": "url",
+            "merge.order": "warc_ts,_lsn",
+            # footer min/max recorded per data file: lets
+            # compact_tombstones skip buckets with no old tombstones
+            "stats.cols": "warc_ts,_deleted",
+        },
     )
 
 
@@ -138,9 +155,13 @@ class CdcApplier:
         url_mode: str = "expr",
         materialize: str = "keys",
         adaptive: bool | None = False,
+        merge_mode: str = "mor",
+        compact_threshold: int = 16,
     ):
         if materialize not in ("keys", "batch"):
             raise ValueError(f"materialize must be 'keys' or 'batch': {materialize!r}")
+        if merge_mode not in ("mor", "cow"):
+            raise ValueError(f"merge_mode must be 'mor' or 'cow': {merge_mode!r}")
         # AQE has nothing to decide on the apply path — partition counts
         # are pinned (the aligned exchange MUST be exactly n_buckets),
         # skew is handled by explicit salting, and the broadcast-size
@@ -149,6 +170,15 @@ class CdcApplier:
         # -> 3.8s fixed cost per warm batch at local[4] with it off.
         # ``adaptive``: False (default) = disable during apply_batch and
         # restore after; True = force on; None = leave session setting.
+        # CAUTION (multi-tenant sessions): the toggle mutates the
+        # session-global spark.sql.adaptive.enabled for the duration of
+        # apply_batch — any query planned CONCURRENTLY in the same
+        # SparkSession (e.g. user jobs alongside foreachBatch) silently
+        # plans with AQE off, and two appliers sharing a session can
+        # clobber each other's saved value.  When the applier shares a
+        # session with other work, either pass adaptive=None (leave the
+        # session setting alone) or give the applier its own
+        # ``spark.newSession()`` (separate conf, shared cluster).
         self.adaptive = adaptive
         self.spark = spark
         self.root = root
@@ -157,6 +187,16 @@ class CdcApplier:
         self.hot_key_threshold = hot_key_threshold
         self.url_mode = url_mode
         self.materialize = materialize
+        # "mor" (default): a batch commits its winner rows as DELTA
+        # files — O(batch) bytes written, no target read, no join;
+        # reads reconcile per key (lake/table.py).  "cow": the classic
+        # copy-on-write full-outer merge that rewrites every touched
+        # bucket — kept for A/B and for read-heavy tables where zero
+        # read-time reconcile cost is worth the write amplification.
+        self.merge_mode = merge_mode
+        # MOR maintenance: fold a bucket's deltas into its base when it
+        # accumulates more than this many delta files (0 disables)
+        self.compact_threshold = compact_threshold
         # prebuilt (reason, canonical-url) expression pair: constructing
         # the normalize tree costs ~1 s of driver-side py4j calls, a
         # pure serial cost per batch if rebuilt — build once, reuse
@@ -164,6 +204,17 @@ class CdcApplier:
         pages_path = os.path.join(root, "pages")
         if Table.exists(pages_path):
             self.pages = Table.load(spark, pages_path)
+            if self.merge_mode == "mor":
+                p = self.pages.properties
+                if not (p.get("merge.key") and p.get("merge.order")):
+                    # adopt a pre-MOR table: declare the reconcile spec
+                    self.pages.set_properties(
+                        {
+                            "merge.key": "url",
+                            "merge.order": "warc_ts,_lsn",
+                            "stats.cols": "warc_ts,_deleted",
+                        }
+                    )
         else:
             self.pages = create_pages_table(spark, pages_path, n_buckets)
         self.quarantine = self._side_table("quarantine", QUARANTINE_SCHEMA, "url")
@@ -405,12 +456,15 @@ class CdcApplier:
                     # exactly n_buckets partitions makes the shuffle
                     # partitioner (pmod(murmur3(url), N)) IDENTICAL to the
                     # table's bucket transform, so the window dedup, the
-                    # merge join AND the bucketed write all reuse this ONE
-                    # payload exchange — task i of the write holds exactly
-                    # bucket i (verified by overwrite_buckets' containment
-                    # check).  The salted hot-key path re-exchanges subsets
-                    # and loses the alignment, so it keeps the explicit
-                    # write clustering.
+                    # bucketed write AND (cow mode) the merge join all
+                    # reuse this ONE payload exchange — task i of the
+                    # write holds exactly bucket i (verified by the commit
+                    # primitives' containment check).  In mor mode this is
+                    # the ONLY exchange in the whole merge subtree
+                    # (plan-locked by test_mor_merge_subtree_single_
+                    # exchange).  The salted hot-key path re-exchanges
+                    # subsets and loses the alignment, so it keeps the
+                    # explicit write clustering.
                     valid = valid.repartition(
                         self.pages.n_buckets(), F.col("url")
                     )
@@ -491,50 +545,22 @@ class CdcApplier:
         parts = int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
         return max(64, (4 * n_changes) // max(parts, 1))
 
-    def _merge(
-        self,
-        staged: DataFrame,
-        batch_id: int,
-        lsn_range: tuple[int, int] | None,
-        phases: dict | None = None,
-        bucket_counts: dict[int, int] | None = None,
-        aligned: bool = False,
-    ) -> ApplyResult:
-        """Join winners against only the touched buckets; rewrite those.
+    def _schema_binding(self, snap):
+        """Rename-safe binding of batch columns onto the target schema.
 
-        The join is a plain equi-join on the canonical key; the
-        broadcast-vs-shuffle call comes from static parquet stats.
-        Bucket pruning bounds the rewrite to touched buckets — the
-        100 TB survival property.
-
-        Known scale consideration: the TARGET side of the join (the
-        touched buckets' current rows) re-partitions on url each batch,
-        because a plain parquet scan cannot declare that its files are
-        already bucketed by pmod(hash(url), N).  The cost is bounded by
-        the touched-bucket payload, not the table, and is the same
-        trade Iceberg MERGE makes without storage-partitioned join.
-        The production path to eliminate it is a DataSource-v2
-        connector reporting KeyGroupedPartitioning (Spark SPJ) or a
-        metastore-bucketed table — plumbing, not a plan change: the
-        source side already aligns to the identical partitioning.
-
-        ``bucket_counts`` (bucket -> distinct winner keys, precomputed
-        by the apply stage's single planning aggregate) enables the
-        cheap path: the expensive dedup + transform pipeline runs
-        exactly once, inside the write job — no intermediate
-        persist/collect materialization of payload rows.
+        Returns (payload_cols, col_type, src_col, cur_name): a target
+        column accepts the batch column under ANY historical name of
+        the same field id (Iceberg rename = same id, new name; the
+        change stream / transform chain keeps producing the original
+        name), and ``cur_name(logical)`` resolves a logical name (e.g.
+        'text') to the field's CURRENT name.
         """
-        snap = self.pages.current_snapshot()
         payload_cols = [
             f["name"]
             for f in snap.schema_fields
             if f["name"] not in ("url", "warc_ts", *ENGINE_COLS)
         ]
         col_type = {f["name"]: f["type"] for f in snap.schema_fields}
-        # rename-safe source binding: a target column accepts the batch
-        # column under ANY historical name of the same field id (Iceberg
-        # rename = same id, new name; the change stream / transform
-        # chain keeps producing the original name)
         name_by_id = {f["name"]: f["id"] for f in snap.schema_fields}
         hist_names: dict[int, list[str]] = {}
         for sid in sorted(snap.schemas, key=int, reverse=True):
@@ -549,6 +575,253 @@ class CdcApplier:
                     return F.col(cand)
             return None
 
+        def cur_name(logical: str) -> str | None:
+            for f in snap.schema_fields:
+                if logical in hist_names.get(f["id"], []):
+                    return f["name"]
+            return None
+
+        return payload_cols, col_type, src_col, cur_name
+
+    def _fuse_transforms(
+        self, merged: DataFrame, live, payload_cols, src_col, cur_name, src_cols
+    ) -> DataFrame:
+        """Fused text/lang transform chain over winner rows.
+
+        Applied AFTER the last exchange (and, in cow mode, after the
+        join): winner rows get text/lang recomputed from their html;
+        the UDF inputs are nulled for non-live rows so Arrow transfers
+        null cells only.  Skipped for any column the batch supplied
+        itself (a pre-transformed feed binds through src_col as usual).
+        """
+        text_c, lang_c, html_c = (
+            cur_name("text"), cur_name("lang"), cur_name("html"),
+        )
+        if (
+            text_c in payload_cols
+            and html_c in payload_cols
+            and src_col(text_c, src_cols) is None
+        ):
+            from ..functions.udf import extract_text_udf, tag_lang_udf
+
+            merged = merged.withColumn(
+                text_c,
+                F.when(
+                    live, extract_text_udf(F.when(live, F.col(html_c)))
+                ).otherwise(F.col(text_c)),
+            )
+            if lang_c in payload_cols and src_col(lang_c, src_cols) is None:
+                merged = merged.withColumn(
+                    lang_c,
+                    F.when(
+                        live, tag_lang_udf(F.when(live, F.col(text_c)))
+                    ).otherwise(F.col(lang_c)),
+                )
+        return merged
+
+    def _merge(
+        self,
+        staged: DataFrame,
+        batch_id: int,
+        lsn_range: tuple[int, int] | None,
+        phases: dict | None = None,
+        bucket_counts: dict[int, int] | None = None,
+        aligned: bool = False,
+    ) -> ApplyResult:
+        if self.merge_mode == "mor":
+            return self._merge_mor(
+                staged, batch_id, lsn_range, phases, bucket_counts, aligned
+            )
+        return self._merge_cow(
+            staged, batch_id, lsn_range, phases, bucket_counts, aligned
+        )
+
+    def _batch_props(
+        self, batch_id: int, lsn_range: tuple[int, int] | None, n_planned: int
+    ) -> dict[str, str]:
+        props = {
+            f"stream.{self.stream_id}.last_batch": str(batch_id),
+            # superset in keys mode: the count of PLANNED keys, not
+            # applied winners — exact winners land in the metrics table
+            # from the write-job observation
+            f"stream.{self.stream_id}.batch.{batch_id}.planned_keys": str(n_planned),
+        }
+        if lsn_range is not None:
+            props[f"stream.{self.stream_id}.last_lsn"] = str(lsn_range[1])
+        return props
+
+    def _delta_frame(self, src: DataFrame, snap) -> DataFrame:
+        """The row-version frame a MOR commit writes, in table schema order.
+
+        ``src``: deduped winners carrying (url, warc_ts, lsn, op,
+        payload..., _bucket).  Output: full internal schema + _bucket —
+        winner payload bound rename-safely, text/lang transforms fused
+        (no exchange is introduced: the UDF projections run in place on
+        the aligned partitions), tombstones with nulled payload.
+        """
+        payload_cols, col_type, src_col, cur_name = self._schema_binding(snap)
+        delta = src.select(
+            F.col("url"),
+            F.col("warc_ts").cast(col_type["warc_ts"]),
+            *[
+                (
+                    sc.cast(col_type[c])
+                    if (sc := src_col(c, src.columns)) is not None
+                    else F.lit(None).cast(col_type[c])
+                ).alias(c)
+                for c in payload_cols
+            ],
+            F.col("lsn").cast("long").alias("_lsn"),
+            (F.col("op") == "D").alias("_deleted"),
+            F.col("_bucket"),
+        )
+        live = ~F.col("_deleted")
+        delta = self._fuse_transforms(
+            delta, live, payload_cols, src_col, cur_name, src.columns
+        )
+        # tombstones keep key+ordering info, null payload
+        delta = delta.select(
+            "url",
+            "warc_ts",
+            *[
+                F.when(F.col("_deleted"), F.lit(None)).otherwise(F.col(c)).alias(c)
+                for c in payload_cols
+            ],
+            "_lsn",
+            "_deleted",
+            "_bucket",
+        )
+        ordered_cols = [f["name"] for f in snap.schema_fields] + ["_bucket"]
+        return delta.select(*ordered_cols)
+
+    def _merge_mor(
+        self,
+        staged: DataFrame,
+        batch_id: int,
+        lsn_range: tuple[int, int] | None,
+        phases: dict | None = None,
+        bucket_counts: dict[int, int] | None = None,
+        aligned: bool = False,
+    ) -> ApplyResult:
+        """Merge-on-read apply: commit winners as delta files, no join.
+
+        The batch's deduped winners ARE the newer row versions, so the
+        merge decision (LWW vs current state) needs no target read at
+        commit time: it is deferred to read-time reconcile, where
+        ``max_by(payload, (warc_ts, _lsn))`` over base+delta versions
+        computes the identical result (the final state per key is the
+        global max over all versions — associative, so fold order
+        doesn't matter).  Consequences at scale:
+
+        - commit I/O is O(batch) — a uniform-key 10^8-event batch over
+          a 100 TB table writes the batch, not the table (the cow path
+          rewrites every touched bucket wholesale),
+        - the merge subtree has exactly ONE exchange (the bucket-
+          aligned winner repartition); there is no per-batch target-
+          side shuffle at all (the cow path re-shuffles the touched
+          buckets' rows every batch because a plain parquet scan can't
+          declare its bucket layout),
+        - read-time cost: dirty buckets reconcile through one map-side-
+          combined max_by shuffle; ``compact_deltas`` (auto above
+          ``compact_threshold`` delta files) bounds it.
+
+        Reference analog: BDB puts only the touched keys
+        (BDBLookupTable.java:81-100, behavior studied — not ported).
+        """
+        snap = self.pages.current_snapshot()
+        phases = phases if phases is not None else {}
+
+        from pyspark.sql import Observation
+
+        w_obs = Observation()
+        staged = staged.observe(w_obs, F.count(F.lit(1)).alias("n_winners"))
+        src = staged.withColumn("_bucket", self.pages.bucket_expr("url"))
+        persisted = None
+        try:
+            t_s = time.monotonic()
+            if bucket_counts is None:
+                persisted = src = src.persist()
+                bucket_counts = {
+                    r["_bucket"]: r["cnt"]
+                    for r in src.groupBy("_bucket")
+                    .agg(F.count("*").alias("cnt"))
+                    .collect()
+                }
+            phases["stage_winners"] = int((time.monotonic() - t_s) * 1000)
+            touched = sorted(bucket_counts)
+            n_planned = int(sum(bucket_counts.values()))
+
+            delta = self._delta_frame(src, snap)
+            props = self._batch_props(batch_id, lsn_range, n_planned)
+            t_w = time.monotonic()
+            new_snap = self.pages.append_deltas(
+                touched, delta, props, base=snap, clustered=aligned, phases=phases
+            )
+            phases["merge_write"] = int((time.monotonic() - t_w) * 1000)
+            try:
+                n_winners = int(w_obs.get["n_winners"])
+            except Exception:
+                n_winners = 0
+            # per-bucket lineage: rows in THIS commit's delta files
+            # (committed manifest diff — no extra Spark job)
+            per_bucket = [
+                (
+                    int(b),
+                    sum(fi["rows"] for fi in new_snap.deltas.get(str(b), []))
+                    - sum(fi["rows"] for fi in snap.deltas.get(str(b), [])),
+                )
+                for b in touched
+            ]
+            if self.compact_threshold:
+                over = [
+                    int(b)
+                    for b in touched
+                    if len(new_snap.deltas.get(str(b), [])) > self.compact_threshold
+                ]
+                if over:
+                    t_c = time.monotonic()
+                    self.pages.compact_deltas(buckets=over)
+                    phases["compact"] = int((time.monotonic() - t_c) * 1000)
+            return ApplyResult(
+                batch_id=batch_id,
+                rows_winners=n_winners,
+                buckets_touched=len(touched),
+                per_bucket=sorted(per_bucket),
+            )
+        finally:
+            if persisted is not None:
+                persisted.unpersist()
+
+    def _merge_cow(
+        self,
+        staged: DataFrame,
+        batch_id: int,
+        lsn_range: tuple[int, int] | None,
+        phases: dict | None = None,
+        bucket_counts: dict[int, int] | None = None,
+        aligned: bool = False,
+    ) -> ApplyResult:
+        """Copy-on-write merge: join winners vs touched buckets, rewrite.
+
+        Non-default (see ``_merge_mor``): kept for A/B comparison and
+        for read-heavy tables that want zero read-time reconcile cost.
+        Its two scale costs — both eliminated by the MOR path — are
+        (a) every touched bucket rewrites WHOLESALE (under uniform-key
+        batches that is the entire table per batch), and (b) the
+        target side of the join re-partitions on url each batch,
+        because a plain parquet scan cannot declare that its files are
+        already bucketed by pmod(hash(url), N) (the same trade Iceberg
+        MERGE makes without storage-partitioned join; a DSv2 connector
+        reporting KeyGroupedPartitioning would remove it).
+
+        ``bucket_counts`` (bucket -> distinct winner keys, precomputed
+        by the apply stage's single planning aggregate) enables the
+        cheap path: the expensive dedup + transform pipeline runs
+        exactly once, inside the write job — no intermediate
+        persist/collect materialization of payload rows.
+        """
+        snap = self.pages.current_snapshot()
+        payload_cols, col_type, src_col, cur_name = self._schema_binding(snap)
         phases = phases if phases is not None else {}
         # exact winner count rides the write job for free; the planning
         # bucket_counts are a validity SUPERSET in keys mode (a key
@@ -652,43 +925,12 @@ class CdcApplier:
             # fused transform chain (see apply_batch): winner rows get
             # text/lang recomputed from their html HERE, after the
             # join, so no pandas-UDF node sits between the aligning
-            # exchange and the join.  The UDF inputs are nulled for
-            # non-winner rows — Arrow transfers null cells, not target
-            # payload — and target rows keep their stored text/lang.
-            # Skipped for any column the batch supplied itself (a
-            # pre-transformed feed binds through src_col as usual).
-            def cur_name(logical: str) -> str | None:
-                # rename-safe: the table field whose name HISTORY
-                # contains the logical name (same Iceberg field id)
-                for f in snap.schema_fields:
-                    if logical in hist_names.get(f["id"], []):
-                        return f["name"]
-                return None
-
+            # exchange and the join; target rows keep their stored
+            # text/lang (non-live rows cross Arrow as nulls).
             live = F.col("_won") & ~F.col("_deleted")
-            text_c, lang_c, html_c = (
-                cur_name("text"), cur_name("lang"), cur_name("html"),
+            merged = self._fuse_transforms(
+                merged, live, payload_cols, src_col, cur_name, src.columns
             )
-            if (
-                text_c in payload_cols
-                and html_c in payload_cols
-                and src_col(text_c, src.columns) is None
-            ):
-                from ..functions.udf import extract_text_udf, tag_lang_udf
-
-                merged = merged.withColumn(
-                    text_c,
-                    F.when(
-                        live, extract_text_udf(F.when(live, F.col(html_c)))
-                    ).otherwise(F.col(text_c)),
-                )
-                if lang_c in payload_cols and src_col(lang_c, src.columns) is None:
-                    merged = merged.withColumn(
-                        lang_c,
-                        F.when(
-                            live, tag_lang_udf(F.when(live, F.col(text_c)))
-                        ).otherwise(F.col(lang_c)),
-                    )
             # tombstones keep key+ordering info, null payload
             merged = merged.select(
                 "url",
@@ -705,17 +947,7 @@ class CdcApplier:
             ordered_cols = [f["name"] for f in snap.schema_fields] + ["_bucket"]
             merged = merged.select(*ordered_cols)
 
-            props = {
-                f"stream.{self.stream_id}.last_batch": str(batch_id),
-                # superset in keys mode (see w_obs comment): the count of
-                # PLANNED keys, not applied winners — exact winners land
-                # in the metrics table from the write-job observation
-                f"stream.{self.stream_id}.batch.{batch_id}.planned_keys": str(
-                    n_winners
-                ),
-            }
-            if lsn_range is not None:
-                props[f"stream.{self.stream_id}.last_lsn"] = str(lsn_range[1])
+            props = self._batch_props(batch_id, lsn_range, n_winners)
             if os.environ.get("SPARK_GRAFT_DEBUG"):
                 # debug-only probe: driver-side Catalyst analyze+optimize
                 # cost of the merge plan (a SERIAL per-batch cost that
@@ -778,17 +1010,56 @@ class CdcApplier:
 
     # ---- maintenance ---------------------------------------------------------
 
-    def compact_tombstones(self, watermark_ts) -> None:
+    def compact_tombstones(self, watermark_ts) -> list[int]:
         """Drop tombstones older than an event-time watermark.
 
         Safe once the stream guarantees no event older than the
         watermark will ever arrive (the watermark is an operator
-        decision, as in any streaming system).  Rewrites all buckets.
+        decision, as in any streaming system).
+
+        Rewrites ONLY buckets whose parquet footer stats show a
+        possibly-old tombstone: a file whose ``_deleted`` max is false
+        has no tombstones; one whose ``warc_ts`` min is at/after the
+        watermark has no OLD rows.  Files without recorded stats are
+        conservatively treated as candidates.  The rewrite reads the
+        RECONCILED bucket content (winner per key), so dropping a
+        tombstone can never resurrect an older live version still
+        sitting in a base/delta file.  Returns the rewritten buckets.
         """
+        import datetime as dt
+
         snap = self.pages.current_snapshot()
-        df = self.pages.read(snap=snap, with_bucket_col=True)
+        wm = (
+            watermark_ts
+            if isinstance(watermark_ts, dt.datetime)
+            else dt.datetime.fromisoformat(str(watermark_ts))
+        )
+
+        def may_hold_old_tombstone(fi: dict) -> bool:
+            st = fi.get("stats") or {}
+            if "_deleted" in st and st["_deleted"][1] is False:
+                return False  # no tombstones in this file at all
+            if "warc_ts" in st:
+                mn = dt.datetime.fromisoformat(st["warc_ts"][0])
+                if mn.tzinfo is not None:
+                    mn = mn.replace(tzinfo=None)
+                if mn >= wm:
+                    return False  # every row is newer than the watermark
+            return True  # unknown stats -> conservative
+
+        affected = sorted(
+            int(b)
+            for b in set(snap.buckets) | set(snap.deltas)
+            if any(
+                may_hold_old_tombstone(fi)
+                for fi in snap.buckets.get(b, []) + snap.deltas.get(b, [])
+            )
+        )
+        if not affected:
+            return []
+        df = self.pages.read(snap=snap, buckets=affected, with_bucket_col=True)
         kept = df.filter(
             ~(F.col("_deleted") & (F.col("warc_ts") < F.lit(watermark_ts)))
         )
-        all_buckets = [int(b) for b in snap.buckets]
-        self.pages.overwrite_buckets(all_buckets, kept, base=snap)
+        self.pages.overwrite_buckets(affected, kept, base=snap)
+        return affected

@@ -14,6 +14,15 @@ everything above it (cdc/apply.py) a thin, portable planner:
   column (Iceberg ``bucket(N, url)``); MERGE rewrites only the buckets
   the source batch touches — at 100 TB this is the difference between
   rewriting gigabytes and rewriting the table,
+- **merge-on-read deltas** (Iceberg v2 MOR analog): a bucket holds
+  *base* files (unique keys) plus *delta* files (newer row versions,
+  including tombstones); reads reconcile per key by last-writer-wins
+  over the table's declared ``merge.order`` columns, and
+  ``compact_deltas`` folds deltas back into the base.  A CDC batch
+  then commits O(batch) bytes no matter how many keys it scatters
+  across — the copy-on-write alternative rewrites every touched
+  bucket wholesale, which under uniform-key batches is the whole
+  table,
 - **schema evolution by column id**: add / rename / widen keep stable
   column ids (rename is a name change on the same id); every data file
   records the schema id it was written under, and reads map old files
@@ -62,6 +71,9 @@ class Snapshot:
     buckets: dict[str, list[dict]]          # bucket -> [{path, schema_id, rows}]
     properties: dict[str, str] = field(default_factory=dict)
     summary: dict[str, int] = field(default_factory=dict)
+    # merge-on-read delta files per bucket (same entry shape as buckets);
+    # default keeps pre-MOR manifests loadable
+    deltas: dict[str, list[dict]] = field(default_factory=dict)
 
     @property
     def schema_fields(self) -> list[dict]:
@@ -77,6 +89,7 @@ class Snapshot:
                 "buckets": self.buckets,
                 "properties": self.properties,
                 "summary": self.summary,
+                "deltas": self.deltas,
             },
             sort_keys=True,
         )
@@ -85,6 +98,42 @@ class Snapshot:
     def from_json(s: str) -> "Snapshot":
         d = json.loads(s)
         return Snapshot(**d)
+
+
+def _footer_stats(md, stats_cols: list[str]) -> dict[str, list]:
+    """min/max per requested column from parquet row-group statistics.
+
+    JSON-safe values only (timestamps -> isoformat); a column whose
+    statistics are missing in any row group is omitted — consumers must
+    treat absence as "unknown", never as "no matches".
+    """
+    if not stats_cols:
+        return {}
+    names = [md.schema.column(j).name for j in range(md.num_columns)]
+    out: dict[str, list] = {}
+    for cname in stats_cols:
+        if cname not in names:
+            continue
+        j = names.index(cname)
+        mn = mx = None
+        ok = md.num_row_groups > 0
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(j).statistics
+            if st is None or not st.has_min_max:
+                ok = False
+                break
+            mn = st.min if mn is None else min(mn, st.min)
+            mx = st.max if mx is None else max(mx, st.max)
+
+        def safe(v):
+            if isinstance(v, (bool, int, float, str)) or v is None:
+                return v
+            iso = getattr(v, "isoformat", None)
+            return iso() if iso else None
+
+        if ok and safe(mn) is not None and safe(mx) is not None:
+            out[cname] = [safe(mn), safe(mx)]
+    return out
 
 
 def _atomic_write(path: str, content: str) -> None:
@@ -209,6 +258,7 @@ class Table:
         snap: Snapshot | None = None,
         buckets: list[int] | None = None,
         with_bucket_col: bool = False,
+        reconcile: bool = True,
     ) -> DataFrame:
         """Schema-id-aware scan of the given snapshot.
 
@@ -218,19 +268,71 @@ class Table:
         those bucket ids (partition pruning — the MERGE path relies on
         it).  ``with_bucket_col`` adds the storage bucket id as
         ``_bucket`` without recomputing hashes.
+
+        Merge-on-read: buckets carrying delta files are reconciled per
+        key — last-writer-wins by the table's ``merge.order`` columns
+        (one map-side-combined ``max_by`` shuffle over ONLY the dirty
+        buckets' rows).  Buckets without deltas stream through with no
+        shuffle.  ``reconcile=False`` returns the raw row versions
+        (base + deltas stacked) — compaction and debugging only.
         """
         snap = snap or self.current_snapshot()
-        cur_fields = snap.schema_fields
-        cur_by_id = {f["id"]: f for f in cur_fields}
-        want = [str(b) for b in buckets] if buckets is not None else None
+        want = {str(b) for b in buckets} if buckets is not None else None
 
-        # group live files by the schema they were written under
-        groups: dict[str, list[tuple[str, str]]] = {}
-        for b, files in snap.buckets.items():
-            if want is not None and b not in want:
-                continue
-            for fi in files:
-                groups.setdefault(str(fi["schema_id"]), []).append((fi["path"], b))
+        def sel(m: dict[str, list[dict]]) -> dict[str, list[dict]]:
+            return {
+                b: fs for b, fs in m.items() if fs and (want is None or b in want)
+            }
+
+        base, deltas = sel(snap.buckets), sel(snap.deltas)
+        if not reconcile or not deltas:
+            entries = [fi for fs in base.values() for fi in fs]
+            entries += [fi for fs in deltas.values() for fi in fs]
+            return self._scan(snap, entries, with_bucket_col)
+        dirty = set(deltas)
+        clean_entries = [
+            fi for b, fs in base.items() if b not in dirty for fi in fs
+        ]
+        dirty_entries = [fi for b, fs in base.items() if b in dirty for fi in fs]
+        dirty_entries += [fi for fs in deltas.values() for fi in fs]
+        clean_df = self._scan(snap, clean_entries, with_bucket_col)
+        dirty_df = self._reconcile(
+            self._scan(snap, dirty_entries, with_bucket_col), snap
+        )
+        return clean_df.unionByName(dirty_df)
+
+    def _reconcile(self, df: DataFrame, snap: Snapshot) -> DataFrame:
+        """Collapse stacked row versions to the winner per merge key.
+
+        ``max_by(payload, merge.order)`` — map-side combined, so even a
+        bucket holding many versions of a hot key ships one
+        pre-aggregated row per map task.  (warc_ts, _lsn)-style order
+        columns must be unique per key among versions — the CDC layer
+        guarantees this via globally-unique lsns.
+        """
+        key = snap.properties.get("merge.key")
+        order = snap.properties.get("merge.order")
+        if not key or not order:
+            raise ValueError(
+                "delta files present but merge.key/merge.order properties unset"
+            )
+        order_cols = [c.strip() for c in order.split(",")]
+        cols = df.columns
+        payload = F.struct(*[F.col(c) for c in cols])
+        rank = F.struct(*[F.col(c) for c in order_cols])
+        won = df.groupBy(key).agg(F.max_by(payload, rank).alias("_w"))
+        return won.select(*[F.col(f"_w.{c}").alias(c) for c in cols])
+
+    def _scan(
+        self, snap: Snapshot, entries: list[dict], with_bucket_col: bool
+    ) -> DataFrame:
+        """Union scan of file entries, mapped onto the current schema."""
+        cur_fields = snap.schema_fields
+
+        # group files by the schema they were written under
+        groups: dict[str, list[str]] = {}
+        for fi in entries:
+            groups.setdefault(str(fi["schema_id"]), []).append(fi["path"])
 
         empty = self.spark.createDataFrame([], self._current_struct(snap))
         if with_bucket_col:
@@ -239,10 +341,9 @@ class Table:
             return empty
 
         parts = []
-        for sid, file_buckets in groups.items():
+        for sid, paths in groups.items():
             file_fields = snap.schemas[sid]
             file_by_id = {f["id"]: f for f in file_fields}
-            paths = [p for p, _ in file_buckets]
             df = self.spark.read.parquet(*paths)
             cols = []
             for f in cur_fields:
@@ -311,7 +412,11 @@ class Table:
             phases["write_job"] = int((time.monotonic() - t_j) * 1000)
         t_f = time.monotonic()
         result: dict[str, list[dict]] = {}
-        sid = self.current_snapshot().schema_id
+        cur = self.current_snapshot()
+        sid = cur.schema_id
+        stats_cols = [
+            c for c in cur.properties.get("stats.cols", "").split(",") if c
+        ]
         for entry in os.listdir(out_dir):
             if not entry.startswith("_bucket="):
                 continue
@@ -320,12 +425,15 @@ class Table:
             for fn in os.listdir(bdir):
                 if fn.endswith(".parquet"):
                     p = os.path.join(bdir, fn)
-                    # row count from the parquet footer: free lineage
-                    # metadata, no extra Spark job
-                    nrows = pq.ParquetFile(p).metadata.num_rows
-                    result.setdefault(b, []).append(
-                        {"path": p, "schema_id": sid, "rows": nrows}
-                    )
+                    # row count (and opt-in column min/max) from the
+                    # parquet footer: free lineage + pruning metadata,
+                    # no extra Spark job
+                    md = pq.ParquetFile(p).metadata
+                    info = {"path": p, "schema_id": sid, "rows": md.num_rows}
+                    st = _footer_stats(md, stats_cols)
+                    if st:
+                        info["stats"] = st
+                    result.setdefault(b, []).append(info)
         if phases is not None:
             phases["footers"] = int((time.monotonic() - t_f) * 1000)
         return result
@@ -408,10 +516,11 @@ class Table:
     ) -> Snapshot:
         """Replace the file sets of ``bucket_ids`` with df's data.
 
-        This is the MERGE commit primitive: the CDC planner computes the
-        merged content of only the touched buckets and swaps those file
-        lists; untouched buckets carry over by reference.  ``clustered``
-        — see ``_write_files``.
+        The copy-on-write commit primitive (also the compaction step of
+        the MOR path): swaps the touched buckets' base file lists AND
+        clears their delta lists — the caller's df must therefore be
+        the fully reconciled content.  Untouched buckets carry over by
+        reference.  ``clustered`` — see ``_write_files``.
         """
         base = base or self.current_snapshot()
         new_files = self._write_files(
@@ -428,7 +537,47 @@ class Table:
         }
         for b, fs in new_files.items():
             buckets[b] = fs
-        return self._commit(base, buckets, properties_update)
+        deltas = {b: fs for b, fs in base.deltas.items() if b not in touched}
+        return self._commit(base, buckets, properties_update, deltas=deltas)
+
+    def append_deltas(
+        self,
+        bucket_ids: list[int],
+        df: DataFrame,
+        properties_update: dict[str, str] | None = None,
+        base: Snapshot | None = None,
+        clustered: bool = False,
+        phases: dict | None = None,
+    ) -> Snapshot:
+        """Merge-on-read commit: add df's rows as DELTA files.
+
+        The MERGE primitive of the MOR path: a batch's winner rows
+        (newer versions + tombstones, already deduped per key) land as
+        one delta file per touched bucket; no base file is read or
+        rewritten, so commit I/O is O(batch), never O(touched buckets).
+        Reads reconcile per key by ``merge.order`` (see ``read``);
+        ``compact_deltas`` folds deltas into the base when a bucket
+        accumulates too many.  Requires merge.key/merge.order table
+        properties (fails fast otherwise, before any data is written).
+        """
+        base = base or self.current_snapshot()
+        if not (
+            base.properties.get("merge.key") and base.properties.get("merge.order")
+        ):
+            raise ValueError("append_deltas requires merge.key/merge.order properties")
+        new_files = self._write_files(
+            self._with_bucket(df), clustered=clustered, phases=phases
+        )
+        touched = {str(b) for b in bucket_ids}
+        if not set(new_files) <= touched:
+            raise ValueError(
+                f"merge wrote rows outside declared buckets: "
+                f"{sorted(set(new_files) - touched)}"
+            )
+        deltas = {b: list(fs) for b, fs in base.deltas.items()}
+        for b, fs in new_files.items():
+            deltas.setdefault(b, []).extend(fs)
+        return self._commit(base, base.buckets, properties_update, deltas=deltas)
 
     def set_properties(self, updates: dict[str, str]) -> Snapshot:
         base = self.current_snapshot()
@@ -441,9 +590,11 @@ class Table:
         properties_update: dict[str, str] | None,
         schema_id: int | None = None,
         schemas: dict[str, list[dict]] | None = None,
+        deltas: dict[str, list[dict]] | None = None,
     ) -> Snapshot:
         props = dict(base.properties)
         props.update(properties_update or {})
+        deltas = deltas if deltas is not None else base.deltas
         snap = Snapshot(
             snapshot_id=base.snapshot_id + 1,
             parent_id=base.snapshot_id,
@@ -451,7 +602,11 @@ class Table:
             schemas=schemas or base.schemas,
             buckets=buckets,
             properties=props,
-            summary={"n_files": sum(len(v) for v in buckets.values())},
+            summary={
+                "n_files": sum(len(v) for v in buckets.values()),
+                "n_delta_files": sum(len(v) for v in deltas.values()),
+            },
+            deltas=deltas,
         )
         self._write_snapshot(snap)
         return snap
@@ -515,14 +670,42 @@ class Table:
         """
         snap = self.current_snapshot()
         fragmented = [
-            int(b) for b, fs in snap.buckets.items()
-            if len(fs) > max_files_per_bucket
+            int(b)
+            for b in set(snap.buckets) | set(snap.deltas)
+            if len(snap.buckets.get(b, [])) + len(snap.deltas.get(b, []))
+            > max_files_per_bucket
         ]
         if not fragmented:
             return []
         df = self.read(snap=snap, buckets=fragmented, with_bucket_col=True)
         self.overwrite_buckets(fragmented, df, base=snap)
         return sorted(fragmented)
+
+    def compact_deltas(
+        self,
+        buckets: list[int] | None = None,
+        max_delta_files: int = 0,
+    ) -> list[int]:
+        """Fold delta files back into base files (MOR maintenance).
+
+        Reconciles the selected buckets (winner per key) and rewrites
+        them as clean base files — the read-time ``max_by`` for those
+        buckets disappears until new deltas arrive.  ``buckets=None``
+        selects every bucket whose delta-file count exceeds
+        ``max_delta_files``.  Returns the compacted bucket ids.
+        """
+        snap = self.current_snapshot()
+        if buckets is None:
+            targets = [
+                int(b) for b, fs in snap.deltas.items() if len(fs) > max_delta_files
+            ]
+        else:
+            targets = [int(b) for b in buckets if snap.deltas.get(str(b))]
+        if not targets:
+            return []
+        df = self.read(snap=snap, buckets=targets, with_bucket_col=True)
+        self.overwrite_buckets(targets, df, base=snap)
+        return sorted(targets)
 
     def expire_orphan_files(self) -> int:
         """Delete data files not referenced by the current snapshot.
@@ -533,6 +716,7 @@ class Table:
         """
         snap = self.current_snapshot()
         live = {fi["path"] for fs in snap.buckets.values() for fi in fs}
+        live |= {fi["path"] for fs in snap.deltas.values() for fi in fs}
         removed = 0
         for root, _dirs, files in os.walk(self.data_dir):
             for fn in files:

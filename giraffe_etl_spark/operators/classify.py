@@ -2,8 +2,12 @@
 
 The reference's UserAgent dataprocessor (its single largest component)
 matches each record against an ordered rule list loaded from config and
-emits a multi-field classification.  Spark-first this becomes rules AS
-DATA with two interchangeable execution strategies:
+emits a 13-field classification, several of which are EXTRACTED from
+the matched string (agent version, language, OS version) rather than
+constant per rule (UserAgent.java:44-59, tuple-splitter FSM 450-596;
+UserAgentConfig.java:34-430 — behavior studied, not ported).
+Spark-first this becomes rules AS DATA with two interchangeable
+execution strategies:
 
 - ``classify_expr``: the rule list is compiled into one generated
   ``when``-chain Column (first match wins) — whole-stage codegen, zero
@@ -11,54 +15,136 @@ DATA with two interchangeable execution strategies:
 - ``classify_join``: the rule table is broadcast and matched with
   ``rlike`` + min-priority pick — the data-driven path when rules live
   in a table that changes without replanning (giraffe's rules-XML
-  reload analog).
+  reload analog).  Extractor patterns ride the rule table as columns
+  and are applied with a column-pattern ``regexp_extract``.
 
-Both strategies are property-tested to agree.  Reference behavior
-studied (not ported): giraffe-etl UserAgent.java:37-613,
-UserAgentConfig.java:34-430.
+Both strategies are property-tested to agree.
+
+Field mapping onto the reference's 13 outputs: family<-agentName,
+version<-agentVersion, language<-agentLanguage, os<-OS,
+os_version<-OSVersion, os_distro<-OSDistro, engine<-layoutEngine,
+engine_version (replaces Mode: versioned engines subsume the mode
+flag), model<-Resolution/device-model, type, device, processor,
+sw_platform<-SWPlatform.
+
+Rule field values are either a literal string (constant per rule), the
+dict ``{"re": <pattern>}`` (capture group 1 extracted from the UA
+string; no match -> null), or absent (null).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
-OUT_FIELDS = ("family", "os", "device")
+OUT_FIELDS = (
+    "family", "version", "language", "os", "os_version", "os_distro",
+    "engine", "engine_version", "model", "type", "device", "processor",
+    "sw_platform",
+)
+
+_VER = r"([0-9][0-9._]*)"
+_LANG_RE = r"\[([a-zA-Z]{2}(?:[-_][a-zA-Z]{2})?)\]"
 
 # a compact default rule set exercising priority order (first match
 # wins: a Googlebot UA also contains "Android" and must stay a bot)
+# and every extractor kind (agent version, language, OS version,
+# engine version, device model, processor)
 DEFAULT_RULES = [
-    {"priority": 1, "pattern": "Googlebot", "family": "googlebot", "os": "bot", "device": "bot"},
-    {"priority": 2, "pattern": "iPhone", "family": "safari_mobile", "os": "ios", "device": "mobile"},
-    {"priority": 3, "pattern": "Android", "family": "chrome_mobile", "os": "android", "device": "mobile"},
-    {"priority": 4, "pattern": "Windows NT", "family": "chrome", "os": "windows", "device": "desktop"},
-    {"priority": 5, "pattern": "Macintosh", "family": "safari", "os": "macos", "device": "desktop"},
+    {
+        "priority": 1, "pattern": "Googlebot",
+        "family": "googlebot", "version": {"re": rf"Googlebot/{_VER}"},
+        "os": "bot", "device": "bot", "type": "bot", "sw_platform": "web",
+    },
+    {
+        "priority": 2, "pattern": "iPhone",
+        "family": "safari_mobile", "version": {"re": rf"Safari/{_VER}"},
+        "language": {"re": _LANG_RE},
+        "os": "ios", "os_version": {"re": rf"iPhone OS {_VER}"},
+        "engine": "webkit", "engine_version": {"re": rf"AppleWebKit/{_VER}"},
+        "model": "iphone", "type": "browser", "device": "mobile",
+        "processor": "arm", "sw_platform": "web",
+    },
+    {
+        "priority": 3, "pattern": "Android",
+        "family": "chrome_mobile", "version": {"re": rf"Chrome/{_VER}"},
+        "language": {"re": _LANG_RE},
+        "os": "android", "os_version": {"re": rf"Android {_VER}"},
+        "os_distro": "linux",
+        "engine": "blink", "engine_version": {"re": rf"Chrome/{_VER}"},
+        "model": {"re": r"Android [0-9.]+; ([^;)]+)\)"},
+        "type": "browser", "device": "mobile", "processor": "arm",
+        "sw_platform": "web",
+    },
+    {
+        "priority": 4, "pattern": "Windows NT",
+        "family": "chrome", "version": {"re": rf"Chrome/{_VER}"},
+        "language": {"re": _LANG_RE},
+        "os": "windows", "os_version": {"re": rf"Windows NT {_VER}"},
+        "engine": "blink", "engine_version": {"re": rf"Chrome/{_VER}"},
+        "type": "browser", "device": "desktop",
+        "processor": {"re": r"Win64; (\w+)"}, "sw_platform": "web",
+    },
+    {
+        "priority": 5, "pattern": "Macintosh",
+        "family": "safari", "version": {"re": rf"Safari/{_VER}"},
+        "language": {"re": _LANG_RE},
+        "os": "macos", "os_version": {"re": rf"Mac OS X {_VER}"},
+        "engine": "webkit", "engine_version": {"re": rf"AppleWebKit/{_VER}"},
+        "type": "browser", "device": "desktop",
+        "processor": {"re": r"\((\w+); "}, "sw_platform": "web",
+    },
 ]
 
 UNKNOWN = {"family": "unknown", "os": "unknown", "device": "unknown"}
 
 
+def _field_col(c: Column, spec) -> Column:
+    """One output field from its rule spec: literal, extractor, or null."""
+    if spec is None:
+        return F.lit(None).cast("string")
+    if isinstance(spec, dict):
+        return F.nullif(F.regexp_extract(c, spec["re"], 1), F.lit(""))
+    return F.lit(spec)
+
+
 def classify_expr(
     col: Column | str, rules: list[dict] | None = None, unknown: dict | None = None
 ) -> Column:
-    """Generated when-chain: struct(family, os, device), first match wins."""
+    """Generated when-chain: struct of OUT_FIELDS, first match wins."""
     c = F.col(col) if isinstance(col, str) else col
     rules = sorted(rules or DEFAULT_RULES, key=lambda r: r["priority"])
     unknown = unknown or UNKNOWN
     out = None
     for r in rules:
         hit = c.rlike(r["pattern"])
-        val = F.struct(*[F.lit(r[f]).alias(f) for f in OUT_FIELDS])
+        val = F.struct(
+            *[_field_col(c, r.get(f)).alias(f) for f in OUT_FIELDS]
+        )
         out = F.when(hit, val) if out is None else out.when(hit, val)
-    fallback = F.struct(*[F.lit(unknown[f]).alias(f) for f in OUT_FIELDS])
+    fallback = F.struct(
+        *[F.lit(unknown.get(f)).cast("string").alias(f) for f in OUT_FIELDS]
+    )
     return fallback if out is None else out.otherwise(fallback)
 
 
 def rules_df(spark: SparkSession, rules: list[dict] | None = None) -> DataFrame:
+    """Rule table: per field, a literal column `f` and a pattern column
+    `f_re` (exactly one non-null when the rule sets the field)."""
     rules = rules or DEFAULT_RULES
-    return spark.createDataFrame(
-        [(r["priority"], r["pattern"], r["family"], r["os"], r["device"]) for r in rules],
-        "priority int, pattern string, family string, os string, device string",
+    rows = []
+    for r in rules:
+        row = [r["priority"], r["pattern"]]
+        for f in OUT_FIELDS:
+            spec = r.get(f)
+            if isinstance(spec, dict):
+                row += [None, spec["re"]]
+            else:
+                row += [spec, None]
+        rows.append(tuple(row))
+    ddl = "priority int, pattern string, " + ", ".join(
+        f"{f} string, {f}_re string" for f in OUT_FIELDS
     )
+    return spark.createDataFrame(rows, ddl)
 
 
 def classify_join(
@@ -69,16 +155,25 @@ def classify_join(
     The rule table is tiny (broadcast: each task scans its rows per
     record, like the reference's in-memory rule list); first match =
     min priority via one ``min_by`` aggregate keyed on a row id, so
-    input rows are never duplicated downstream.  Scale: cost is
-    O(rows x rules) regex work distributed across tasks — identical to
-    the reference's per-record rule scan, but sharded.
+    input rows are never duplicated downstream.  Extractor patterns are
+    data (``f_re`` columns), applied with the column-pattern form of
+    ``regexp_extract`` — rules change without replanning.  Scale: cost
+    is O(rows x rules) regex work distributed across tasks — identical
+    to the reference's per-record rule scan, but sharded.
     """
     unknown = unknown or UNKNOWN
     tagged = df.withColumn("_cid", F.monotonically_increasing_id())
     hits = tagged.join(
         F.broadcast(rules), F.regexp_like(F.col(col), F.col("pattern")), "left"
     )
-    pick = F.struct(*[F.col(f) for f in OUT_FIELDS])
+    vals = [
+        F.coalesce(
+            F.col(f),
+            F.nullif(F.expr(f"regexp_extract({col}, {f}_re, 1)"), F.lit("")),
+        ).alias(f)
+        for f in OUT_FIELDS
+    ]
+    pick = F.struct(*vals)
     best = (
         hits.groupBy("_cid")
         .agg(
@@ -88,7 +183,7 @@ def classify_join(
     )
     out_cols = [
         F.when(F.col("_prio").isNotNull(), F.col(f"_cls.{f}"))
-        .otherwise(F.lit(unknown[f]))
+        .otherwise(F.lit(unknown.get(f)).cast("string"))
         .alias(f)
         for f in OUT_FIELDS
     ]

@@ -230,6 +230,8 @@ def minhash_lsh_dedup(
     shingle_n: int = 5,
     threshold: float = 0.8,
     max_iter: int = 10,
+    checkpoint_dir: str | None = None,
+    check_every: int = 2,
 ) -> DataFrame:
     """Drop near-duplicates: keep the min-id representative per component.
 
@@ -242,12 +244,28 @@ def minhash_lsh_dedup(
     min-label propagation (converges in O(log n) rounds; each round is
     one join + one aggregate — no driver-side loops over rows).
 
+    Cluster safety: each round's labels are materialized through a
+    checkpoint to truncate lineage (otherwise the plan doubles per
+    round).  ``checkpoint_dir=None`` (local/bench) uses
+    ``localCheckpoint`` — fast, but pinned to executor storage and lost
+    on executor death; pass a reliable-storage path (HDFS/S3) on a real
+    cluster to switch to ``checkpoint()``.  Convergence is tested every
+    ``check_every`` rounds (one driver action per CHECK, not per
+    round): min-propagation is monotone, so labels unchanged across a
+    k-round block are a fixed point.
+
     Shingling runs ONCE: words are hashed to longs (`hashed_word_frame`),
     windows folded to 64-bit shingle fingerprints, and both the LSH
     candidate generator and the Jaccard verifier read the same cached
     frames — the dominant cost of the naive pipeline is shingling the
     corpus twice and minhashing n-word strings 64 times each.
     """
+    if checkpoint_dir:
+        df.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def ckpt(frame: DataFrame) -> DataFrame:
+        return frame.checkpoint() if checkpoint_dir else frame.localCheckpoint()
+
     whf = hashed_word_frame(df, text_col, id_col).persist()
     sh_df = whf.select(
         "_id", window_hash_expr(F.col("_wh"), shingle_n).alias("_sh")
@@ -265,47 +283,46 @@ def minhash_lsh_dedup(
     rev = edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
     adj = fwd.unionByName(rev).persist()
 
-    labels = (
+    labels = ckpt(
         adj.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint()  # truncate lineage at the loop entry
     )
     try:
-        for _ in range(max_iter):
-            neighbor_min = (
-                adj.join(labels, adj.src == labels.node)
-                .groupBy("dst")
-                .agg(F.min("label").alias("nmin"))
-            )
-            # localCheckpoint materializes the iteration AND truncates
-            # lineage (otherwise the plan doubles per round); on a real
-            # cluster use checkpoint() on reliable storage instead
-            new_labels = (
-                labels.join(neighbor_min, labels.node == neighbor_min.dst, "left")
-                .select(
-                    "node",
-                    F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias(
-                        "label"
-                    ),
+        rounds = 0
+        while rounds < max_iter:
+            block_start = labels
+            for _ in range(min(check_every, max_iter - rounds)):
+                neighbor_min = (
+                    adj.join(labels, adj.src == labels.node)
+                    .groupBy("dst")
+                    .agg(F.min("label").alias("nmin"))
                 )
-                .localCheckpoint()
-            )
+                labels = ckpt(
+                    labels.join(
+                        neighbor_min, labels.node == neighbor_min.dst, "left"
+                    ).select(
+                        "node",
+                        F.least(
+                            F.col("label"), F.coalesce("nmin", F.col("label"))
+                        ).alias("label"),
+                    )
+                )
+                rounds += 1
             changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "node")
+                labels.alias("n")
+                .join(block_start.alias("o"), "node")
                 .filter(F.col("n.label") != F.col("o.label"))
                 .limit(1)
                 .count()
             )
-            labels = new_labels
             if changed == 0:
                 break
 
         drop = labels.filter(F.col("node") != F.col("label")).select(
             F.col("node").alias(id_col)
         )
-        # drop descends only from the localCheckpointed labels, so the
+        # drop descends only from the checkpointed labels, so the
         # caches released below are never re-derived by the lazy result
         return df.join(drop, id_col, "left_anti")
     finally:
@@ -358,6 +375,52 @@ def simhash_expr(text_col: str, bits: int = 64, shingle_n: int = 3) -> F.Column:
     lo = horner(F.slice(votes, 1, half))
     hi = horner(F.slice(votes, half + 1, bits - half))
     return F.shiftleft(hi, half).bitwiseOR(lo)
+
+
+def simhash_md5_expr(text_col: str, bits: int = 32, shingle_n: int = 3) -> F.Column:
+    """SimHash over an ENGINE-PORTABLE shingle hash (md5 prefix).
+
+    Same algorithm as ``simhash_expr`` but the per-shingle hash is the
+    first 8 hex chars of md5(shingle) instead of xxhash64: md5 is
+    bit-identical across Spark, DuckDB, and any ANSI engine, so an
+    external oracle can recompute the signature exactly (list lambdas +
+    hex arithmetic) — this is the hash-checkable variant the driver's
+    correctness gate runs.  xxhash64 stays the production default
+    (one JVM intrinsic vs md5's full digest per shingle).
+
+    Single-pass shape as simhash_expr: one md5 per distinct shingle,
+    one aggregate() folding per-shingle ±1 votes into a ``bits``-wide
+    vector, one zip_with folding votes into the signature — every
+    subtree appears once (projection-collapse safe).
+    """
+    assert bits <= 32, "md5 prefix parse uses 8 hex chars (32 bits)"
+    sh = F.array_distinct(shingles(_normalized_text(text_col), shingle_n))
+    # conv() parses the 8-hex-char prefix as an unsigned 32-bit value;
+    # fits a long with room to spare
+    vals = F.transform(
+        sh, lambda s: F.conv(F.substring(F.md5(s.cast("binary")), 1, 8), 16, 10).cast("long")
+    )
+    votes = F.aggregate(
+        vals,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, v: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.when(
+                        F.shiftright(v, b).bitwiseAND(F.lit(1)) == 1, 1
+                    ).otherwise(-1)
+                    for b in range(bits)
+                ]
+            ),
+            lambda a, x: a + x,
+        ),
+    )
+    powers = F.array(*[F.lit(1 << b).cast("long") for b in range(bits)])
+    terms = F.zip_with(
+        votes, powers, lambda vt, p: F.when(vt > 0, p).otherwise(F.lit(0).cast("long"))
+    )
+    return F.aggregate(terms, F.lit(0).cast("long"), lambda a, x: a + x)
 
 
 def simhash_dedup(

@@ -20,17 +20,20 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
-GEO_FIELDS = ("country", "region", "asn", "org")
+# full 7-field parity with the reference resolver (GeoIPResolver.java:
+# 33-133 derives countryCode/region/city/latitude/longitude + ASN
+# number/org — behavior studied, not ported)
+GEO_FIELDS = ("country", "region", "city", "latitude", "longitude", "asn", "org")
 
 _COUNTRIES = ("us", "de", "fr", "jp", "br")
 
 
 def geo_table(spark: SparkSession, n_hosts: int = 50) -> DataFrame:
-    """Deterministic synthetic host -> geo dictionary.
+    """Deterministic synthetic host -> geo dictionary (7 derived fields).
 
     host{i}.example.org -> (country = cycle of 5, region r{i%7},
-    asn 64512+i, org org{i%11}) — pure function of i, so oracles can
-    recompute it in SQL.
+    city c{i%13}, lat/lon on exact .5 grid — FP-exact so SQL oracles
+    hash-match — asn 64512+i, org org{i%11}): pure function of i.
     """
     i = F.col("id")
     return spark.range(0, n_hosts).select(
@@ -39,15 +42,28 @@ def geo_table(spark: SparkSession, n_hosts: int = 50) -> DataFrame:
             F.array(*[F.lit(c) for c in _COUNTRIES]), (i % 5 + 1).cast("int")
         ).alias("country"),
         F.concat(F.lit("r"), (i % 7).cast("string")).alias("region"),
+        F.concat(F.lit("c"), (i % 13).cast("string")).alias("city"),
+        ((i % 181) - 90 + F.lit(0.5)).cast("double").alias("latitude"),
+        ((i % 361) - 180 + F.lit(0.5)).cast("double").alias("longitude"),
         (F.lit(64512) + i % 1024).cast("bigint").alias("asn"),
         F.concat(F.lit("org"), (i % 11).cast("string")).alias("org"),
     )
 
 
 def enrich_hosts(
-    df: DataFrame, geo: DataFrame, host_col: str = "host", enriched_at=None
-) -> DataFrame:
-    """Broadcast dictionary join; unmatched hosts get null geo fields.
+    df: DataFrame,
+    geo: DataFrame,
+    host_col: str = "host",
+    enriched_at=None,
+    unmatched: str = "null",
+):
+    """Broadcast dictionary join.
+
+    ``unmatched``: what happens to hosts absent from the dictionary —
+    ``"null"`` (default) keeps them with null geo fields; ``"route"``
+    returns a ``(enriched_matched, unmatched_rows)`` pair instead (the
+    giraffe error-route analog: the miss side feeds a dead-letter /
+    re-resolve queue instead of silently passing nulls downstream).
 
     ``enriched_at``: literal/Column recorded per row (event-time clock
     of the enrichment pass) enabling the TTL recompute below.
@@ -58,6 +74,15 @@ def enrich_hosts(
     if enriched_at is not None:
         ts = enriched_at if isinstance(enriched_at, Column) else F.lit(enriched_at)
         out = out.withColumn("enriched_at", ts.cast("timestamp"))
+    if unmatched == "route":
+        # one broadcast hash probe per route — the fact side is scanned
+        # twice but never shuffled (plan-locked by the enrich tests)
+        matched = out.filter(F.col("country").isNotNull())
+        dict_keys = geo.select("host")
+        missed = df.join(
+            F.broadcast(dict_keys), df[host_col] == dict_keys["host"], "left_anti"
+        )
+        return matched, missed
     return out
 
 

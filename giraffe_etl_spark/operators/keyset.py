@@ -18,11 +18,13 @@ making the assignment equal to ``row_number() OVER (ORDER BY keys)-1``
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import StructType
 
 
 def dense_ids(df: DataFrame, out: str = "dense_id") -> DataFrame:
@@ -59,6 +61,81 @@ def dense_ids(df: DataFrame, out: str = "dense_id") -> DataFrame:
             yield pdf
 
     return src.mapInPandas(assign, schema=schema)
+
+
+class PersistentKeyset:
+    """Stable dense IDs ACROSS runs — the BDBNumberedKeyset analog.
+
+    The reference's keyset assigns a dense int id per distinct string on
+    first sight and keeps it forever (``putNoOverwrite``,
+    BDBNumberedKeyset.java:100-158 — behavior studied, not ported).
+    Here the dictionary is a snapshot-isolated lake table
+    ``(key string, dense_id long)``; ``assign_or_get`` extends it with
+    unseen keys only:
+
+    - existing keys keep their ids (anti-join finds the new ones),
+    - new keys get ids ``max+1 ..`` in SORTED-KEY order within the call
+      — a deterministic rule, so an external oracle can recompute every
+      id from the batch history,
+    - the running max rides the table properties and commits atomically
+      with the new rows (one snapshot), so a crash between jobs never
+      leaks or skips ids,
+    - replaying a batch is a natural no-op: its keys already exist, the
+      anti-join returns nothing, ids are unchanged (idempotent).
+
+    Single-writer, like the apply stage.  Scale: the per-call work is
+    one distinct + one anti-join on keys only (no payload), and the new
+    slice's zip is the fully-parallel ``dense_ids_ordered``.
+    """
+
+    SCHEMA = "key string, dense_id long"
+
+    def __init__(self, spark: SparkSession, path: str, n_buckets: int = 8):
+        from ..lake import Table
+
+        if Table.exists(path):
+            self.table = Table.load(spark, path)
+        else:
+            os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+            self.table = Table.create(
+                spark,
+                path,
+                StructType.fromDDL(self.SCHEMA),
+                bucket_key="key",
+                n_buckets=n_buckets,
+                properties={"keyset.max": "-1"},
+            )
+
+    def lookup(self) -> DataFrame:
+        """The full dictionary (key, dense_id)."""
+        return self.table.read()
+
+    def assign_or_get(self, keys: DataFrame, key_col: str = "key") -> DataFrame:
+        """Dictionary rows for every distinct non-null input key,
+        extending the dictionary with the unseen ones."""
+        snap = self.table.current_snapshot()
+        distinct = (
+            keys.select(F.col(key_col).alias("key"))
+            .filter(F.col(key_col).isNotNull())
+            .distinct()
+        )
+        cur = self.table.read(snap=snap)
+        new = distinct.join(cur.select("key"), "key", "left_anti").persist()
+        try:
+            n_new = new.count()
+            if n_new:
+                offset = int(snap.properties.get("keyset.max", "-1")) + 1
+                assigned = dense_ids_ordered(new, ["key"]).withColumn(
+                    "dense_id", (F.col("dense_id") + offset).cast("long")
+                )
+                self.table.append(
+                    assigned,
+                    {"keyset.max": str(offset + n_new - 1)},
+                    base=snap,
+                )
+        finally:
+            new.unpersist()
+        return distinct.join(self.table.read(), "key")
 
 
 def dense_ids_ordered(

@@ -79,15 +79,21 @@ def brute_force_topk(
 def hyperplane_buckets_udf(vec_col, n_planes: int, n_tables: int, seed_base: int):
     """All tables' sign-pattern buckets per row — one Arrow matmul per batch.
 
-    The expression formulation below (`_hyperplane_bucket`) evaluates
-    n_tables x n_planes plane projections per ROW through interpreted
-    higher-order functions (HOFs are excluded from whole-stage codegen),
-    re-deriving every plane component with a per-element hash.  This
-    vectorized form draws the planes once per Python worker from
-    ``np.random.RandomState(seed_base + t)`` — deterministic per
-    (seed, dim), no stored model — and computes every projection for a
-    whole Arrow batch as one ``X @ P.T`` matmul: measured ~10x on the
-    neardup pipeline.  Returns ``array<long>`` of n_tables bucket ids.
+    An expression formulation (higher-order functions deriving each
+    plane component from a hash) evaluates n_tables x n_planes plane
+    projections per ROW interpreted — HOFs are excluded from
+    whole-stage codegen.  This vectorized form draws the planes once
+    per Python worker from ``np.random.RandomState(seed_base + t)`` —
+    deterministic per (seed, dim), no stored model — and computes every
+    projection for a whole Arrow batch as one ``X @ P.T`` matmul:
+    measured ~10x on the neardup pipeline.  Returns ``array<long>`` of
+    n_tables bucket ids.
+
+    Dirty rows degrade, never kill the job: a null embedding, or one
+    whose dimension differs from the batch's modal dimension, gets an
+    EMPTY bucket array — it simply never collides (posexplode of []
+    emits no rows), which is the correct LSH semantics for an
+    uncomparable vector.
     """
     from pyspark.sql.functions import pandas_udf
 
@@ -95,54 +101,36 @@ def hyperplane_buckets_udf(vec_col, n_planes: int, n_tables: int, seed_base: int
     def buckets(vecs: pd.Series) -> pd.Series:
         if len(vecs) == 0:
             return pd.Series([], dtype=object)
-        X = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
-        dim = X.shape[1]
-        out = np.zeros((len(vecs), n_tables), dtype=np.int64)
+        arrs = [
+            None if v is None else np.asarray(v, dtype=np.float64) for v in vecs
+        ]
+        lengths = [len(a) for a in arrs if a is not None and a.ndim == 1]
+        if not lengths:
+            return pd.Series([[] for _ in arrs])
+        dim = int(np.bincount(lengths).argmax())  # modal dimension
+        valid = np.array(
+            [a is not None and a.ndim == 1 and len(a) == dim for a in arrs]
+        )
+        X = np.vstack([a for a, ok in zip(arrs, valid) if ok])
+        out_valid = np.zeros((int(valid.sum()), n_tables), dtype=np.int64)
         weights = (1 << np.arange(n_planes, dtype=np.int64))
         for t in range(n_tables):
             planes = np.random.RandomState(seed_base + t).uniform(
                 -1.0, 1.0, size=(n_planes, dim)
             )
-            signs = (X @ planes.T) >= 0  # (rows, n_planes)
-            out[:, t] = signs @ weights
-        return pd.Series(list(out))
+            signs = (X @ planes.T) >= 0  # (valid rows, n_planes)
+            out_valid[:, t] = signs @ weights
+        result, j = [], 0
+        for ok in valid:
+            if ok:
+                result.append(list(out_valid[j]))
+                j += 1
+            else:
+                result.append([])
+        return pd.Series(result)
 
     c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     return buckets(c)
-
-
-def _hyperplane_bucket(vec_col: str, n_planes: int, seed: int = 11) -> F.Column:
-    """Sign-pattern bucket id from n_planes deterministic hyperplanes.
-
-    Plane p's component for dimension d is a pseudo-random value in
-    [-1, 1) derived from xxhash64(d, p, seed) — no stored model, fully
-    reproducible, computed inside the JVM.
-    """
-    v = F.col(vec_col)
-    dims = F.size(v)
-
-    def plane_comp(p: int):
-        # closure factory — a lambda default arg would raise the lambda's
-        # arity and bind p to the array index column (see dedup.py note)
-        return lambda d: (
-            F.pmod(F.xxhash64(d, F.lit(p), F.lit(seed)), F.lit(2_000_000))
-            .cast("double")
-            / F.lit(1_000_000.0)
-        ) - F.lit(1.0)
-
-    bits = []
-    for p in range(n_planes):
-        comp = F.zip_with(
-            v,
-            F.transform(F.sequence(F.lit(0), dims - 1), plane_comp(p)),
-            lambda x, h: x * h,
-        )
-        proj = F.aggregate(comp, F.lit(0.0), lambda acc, x: acc + x)
-        bits.append(F.when(proj >= 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(F.lit(0).cast("long")))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out.bitwiseOR(b)
-    return out
 
 
 def lsh_topk(

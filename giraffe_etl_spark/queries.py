@@ -413,27 +413,90 @@ def ann_topk_cosine(spark, sf_dir):
 
 # ---- non-SQL-expressible ops (rows-only driver check) ------------------------
 
-def cdc_replay_synthetic(spark, sf_dir):
-    """Flagship: full CDC replay on deterministic synthetic data.
+# Stopword-bearing ASCII fillers, one per expected language tag, shared
+# verbatim with the DuckDB oracle (__spark_entry__._cdc_replay_sql): the
+# html body is built from these, so the oracle can reconstruct the
+# extracted text AND the expected tag_lang vote per row.
+CDC_FILLERS = [
+    ("en", "the cat sat on the mat and it was good"),
+    ("de", "der hund und die katze sind nicht im haus"),
+    ("fr", "le chat est sur la table et il mange pour que"),
+    ("es", "el perro y la casa es para los que se van"),
+    ("hu", "az ember hogy nem volt egy csak mint el"),
+]
 
-    Seeds a pages table, applies a 3-batch change stream (skewed keys,
-    late events, duplicates, malformed rows), returns the final public
-    table.  Runs in a temp dir; result depends only on the generator
-    seed.  (html column dropped from the result for driver-side
-    hashing stability of binary columns.)
+
+def cdc_changes_from_events(spark, sf_dir) -> DataFrame:
+    """Deterministic change stream derived from the ``events`` table.
+
+    Every column is a simple SQL expression of (event_id, user_id, ts)
+    — reproducible in DuckDB — so a full CDC replay over this stream is
+    hash-checkable end to end: the oracle recomputes the per-url
+    last-writer-wins winner (window over warc_ts desc, lsn desc), the
+    text the html extractor must produce, and the language the
+    stopword vote must assign.  op mix: 60% I / 30% U / 10% D, with
+    every 97th event malformed (op='X' -> quarantine route).
+    """
+    e = _t(spark, sf_dir, "events")
+    url = F.concat(
+        F.lit("http://host"),
+        (F.col("user_id") % 20).cast("string"),
+        F.lit(".example.org/page/"),
+        F.col("user_id").cast("string"),
+    )
+    op = (
+        F.when(F.col("event_id") % 97 == 0, F.lit("X"))
+        .when(F.col("event_id") % 10 < 6, F.lit("I"))
+        .when(F.col("event_id") % 10 < 9, F.lit("U"))
+        .otherwise(F.lit("D"))
+    )
+    filler = F.element_at(
+        F.array(*[F.lit(t) for _, t in CDC_FILLERS]),
+        (F.col("user_id") % 5 + 1).cast("int"),
+    )
+    html_str = F.concat(
+        F.lit("<html><head><title>doc "),
+        F.col("event_id").cast("string"),
+        F.lit("</title><script>var x = 1 < 2;</script></head><body><h1>"),
+        url,
+        F.lit("</h1><p>"),
+        filler,
+        F.lit(" rev "),
+        F.col("event_id").cast("string"),
+        F.lit("</p></body></html>"),
+    )
+    return e.select(
+        F.col("event_id").alias("lsn"),
+        op.alias("op"),
+        url.alias("url"),
+        F.col("ts").alias("warc_ts"),
+        F.when(op != "D", F.encode(html_str, "UTF-8"))
+        .otherwise(F.lit(None).cast("binary"))
+        .alias("html"),
+    )
+
+
+def cdc_replay_synthetic(spark, sf_dir):
+    """Flagship: full CDC replay, hash-checked against a SQL oracle.
+
+    Applies the events-derived change stream (see
+    ``cdc_changes_from_events``) in 3 interleaved batches (lsn % 3 —
+    every batch carries events older than rows already merged, so the
+    cross-batch LWW path is exercised, not just within-batch dedup),
+    through the real pipeline: quarantine route, canonicalize, window
+    dedup, fused text/lang transform UDFs, bucketed MERGE with the
+    transactional offset log.  Returns the final public table; the
+    DuckDB oracle recomputes it with one window + string construction.
     """
     import tempfile
 
-    from .cdc import CdcApplier, ChangeGenConfig, gen_pages, read_pages, replay, seed_pages
+    from .cdc import CdcApplier, read_pages
 
     root = tempfile.mkdtemp(prefix="cdc_entry_")
-    cfg = ChangeGenConfig(
-        n_keys=60, hot_frac=0.25, n_hot_keys=4, late_frac=0.05, dup_frac=0.01,
-        malformed_frac=0.02,
-    )
+    changes = cdc_changes_from_events(spark, sf_dir)
     applier = CdcApplier(spark, root, n_buckets=8)
-    seed_pages(applier.pages, spark.createDataFrame(gen_pages(60)))
-    replay(applier, spark, n_events=600, batch_size=200, cfg=cfg)
+    for b in range(3):
+        applier.apply_batch(changes.filter(F.col("lsn") % 3 == b), batch_id=b)
     return (
         read_pages(applier.pages)
         .select("url", "warc_ts", "text", "lang")
@@ -441,29 +504,94 @@ def cdc_replay_synthetic(spark, sf_dir):
     )
 
 
-def minhash_dedup_documents(spark, sf_dir):
-    """MinHash+LSH near-dup removal over documents.
+def _planted_neardup_corpus(d: DataFrame) -> DataFrame:
+    """Documents corpus with STRUCTURALLY planted near-dup clusters.
 
-    Banding picks the LSH s-curve: with 32 hashes in 4 bands of 8
-    rows the candidate threshold is (1/4)^(1/8) ~ 0.84, so random
-    pairs (Jaccard ~0.1) almost never collide and the exact-Jaccard
-    verifier only sees real near-dups.  (16 bands of 2 would put the
-    curve at ~0.25 and flood the verifier with n^2 candidates.)
+    Every base doc gets 20 doc-unique words, so cross-doc Jaccard is
+    exactly 0 and every planted pairwise Jaccard is an exact rational
+    (windows-of-3 arithmetic over 20 words, 18 shingles/doc):
+
+    - near copy   (doc_id%5==0, +100000): last 2 words swapped
+      -> 2 of 18 shingles changed, J = 16/20 = 0.80  >= 0.7  (dropped)
+    - far copy    (doc_id%5==1, +200000): last 6 words swapped
+      -> 6 changed, J = 12/24 = 0.50 < 0.7            (kept)
+    - chain copy  (doc_id%5==0, +300000): near copy with word 16
+      also swapped -> vs near J = 15/21 = 0.714 >= 0.7 (edge), vs
+      base J = 14/22 = 0.636 < 0.7 (no direct edge) — dropped only
+      if min-label propagation crosses the 2-hop component.
+
+    The kept set is therefore a pure function of the planting rule —
+    SQL-recomputable — while the engine still runs the full real
+    pipeline (fingerprinted shingles, banded LSH, Jaccard verify,
+    connected components).
+    """
+    W = 20
+
+    def text_for(prefix_at: dict[int, str]) -> F.Column:
+        words = [
+            F.concat(
+                F.lit(prefix_at.get(j, "w")),
+                F.col("doc_id").cast("string"),
+                F.lit(f"_{j}"),
+            )
+            for j in range(W)
+        ]
+        return F.concat_ws(" ", *words)
+
+    base = d.select("doc_id", text_for({}).alias("text"))
+    near = (
+        d.filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id", text_for({18: "x", 19: "x"}).alias("text"))
+        .withColumn("doc_id", F.col("doc_id") + 100000)
+    )
+    far = (
+        d.filter(F.col("doc_id") % 5 == 1)
+        .select("doc_id", text_for({j: "z" for j in range(14, 20)}).alias("text"))
+        .withColumn("doc_id", F.col("doc_id") + 200000)
+    )
+    chain = (
+        d.filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id", text_for({16: "y", 18: "x", 19: "x"}).alias("text"))
+        .withColumn("doc_id", F.col("doc_id") + 300000)
+    )
+    return base.unionByName(near).unionByName(far).unionByName(chain)
+
+
+def minhash_dedup_documents(spark, sf_dir):
+    """MinHash+LSH near-dup removal, hash-checked via planted structure.
+
+    Runs the full pipeline over ``_planted_neardup_corpus`` (structural
+    Jaccard levels 0.80 / 0.714 / 0.636 / 0.50 around the 0.7 verify
+    threshold, plus a 2-hop duplicate chain for the connected-components
+    stage).  Banding here is recall-oriented — 32 bands of 1 row, miss
+    probability (1-J)^32 < 1e-17 at J >= 0.714 — because the verify
+    threshold (0.7) sits far below the production 8x8 s-curve (~0.77);
+    false candidates cost nothing (cross-doc J = 0, verifier rejects).
     """
     from .operators.dedup import minhash_lsh_dedup
 
-    d = _t(spark, sf_dir, "documents")
-    kept = minhash_lsh_dedup(d, num_hashes=32, bands=4, shingle_n=3, threshold=0.7)
-    return kept.select("doc_id", "lang", "source").orderBy("doc_id")
+    corpus = _planted_neardup_corpus(_t(spark, sf_dir, "documents").select("doc_id"))
+    kept = minhash_lsh_dedup(
+        corpus, num_hashes=32, bands=32, shingle_n=3, threshold=0.7
+    )
+    return kept.select("doc_id").orderBy("doc_id")
 
 
 def simhash_documents(spark, sf_dir):
-    from .operators.dedup import simhash_expr
+    """Per-doc SimHash fingerprint over the engine-portable md5 hash.
+
+    ``simhash_md5_expr`` (operators/dedup.py) keeps the exact simhash
+    algorithm — distinct 3-word shingles, per-bit +-1 votes, sign fold
+    — but derives shingle bits from md5, which Spark and DuckDB compute
+    identically, so the driver hash-compares every signature.  The
+    xxhash64 variant (``simhash_expr``) remains the production default.
+    """
+    from .operators.dedup import simhash_md5_expr
 
     d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", simhash_expr("text", bits=32).alias("simhash32")).orderBy(
-        "doc_id"
-    )
+    return d.select(
+        "doc_id", simhash_md5_expr("text", bits=32).alias("simhash32")
+    ).orderBy("doc_id")
 
 
 def embedding_neardup(spark, sf_dir):
@@ -667,13 +795,16 @@ def ua_classify(spark, sf_dir):
 
     Template 4 contains both 'Googlebot' and 'Android' — the priority
     order of the rule table (first match wins) is part of what the
-    oracle checks; template 5 exercises the unknown fallback.
+    oracle checks; template 5 exercises the unknown fallback.  version /
+    language / os_version / model are EXTRACTED from the UA string via
+    the rules' capture groups (UserAgent.java:44-59 analog), not
+    constants — the oracle pins the expected extraction per template.
     """
     from .operators.classify import classify_expr
 
     e = _t(spark, sf_dir, "events")
     tpl = F.array(
-        F.lit("Mozilla/5.0 (Windows NT 10.0; Win64; x64) Chrome/120.0"),
+        F.lit("Mozilla/5.0 (Windows NT 10.0; Win64; x64) [en-us] Chrome/120.0"),
         F.lit("Mozilla/5.0 (Macintosh; Intel Mac OS X 13_1) Safari/605.1"),
         F.lit("Mozilla/5.0 (iPhone; CPU iPhone OS 17_0) Safari/604.1"),
         F.lit("Mozilla/5.0 (Linux; Android 14; Pixel 8) Chrome/120.0"),
@@ -684,13 +815,14 @@ def ua_classify(spark, sf_dir):
     cls = classify_expr(ua)
     return (
         e.select(
-            cls["family"].alias("family"),
-            cls["os"].alias("os"),
-            cls["device"].alias("device"),
+            *[cls[f].alias(f) for f in (
+                "family", "version", "language", "os", "os_version",
+                "model", "device",
+            )]
         )
-        .groupBy("family", "os", "device")
+        .groupBy("family", "version", "language", "os", "os_version", "model", "device")
         .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy("family")
+        .orderBy("family", "os")
     )
 
 
@@ -715,6 +847,10 @@ def geoip_enrich(spark, sf_dir):
             F.count(F.lit(1)).alias("n"),
             F.countDistinct("host").alias("n_hosts"),
             F.sum("asn").alias("sum_asn"),
+            # 7-field parity coverage: city + exact .5-grid latitude
+            # aggregate (FP-exact, so the value hash is stable)
+            F.countDistinct("city").alias("n_cities"),
+            F.sum("latitude").alias("sum_lat"),
         )
         .orderBy("country")
     )
@@ -766,6 +902,29 @@ def doc_dense_ids(spark, sf_dir):
     return out.select("doc_id", "lang", "dense_id").orderBy("doc_id")
 
 
+def keyset_assign_documents(spark, sf_dir):
+    """Persistent NumberedKeyset: stable dense ids across two batches.
+
+    Batch 1 registers the keys of even doc_ids; batch 2 brings ALL
+    doc_ids — existing keys must keep their batch-1 ids, new keys
+    extend from max+1 in sorted order (the deterministic assignment
+    rule, so the DuckDB oracle recomputes every id from the batch
+    split).  Returns the final dictionary.
+    """
+    import tempfile
+
+    from .operators.keyset import PersistentKeyset
+
+    d = _t(spark, sf_dir, "documents")
+    key = F.concat(F.col("source"), F.lit("-"), (F.col("doc_id") % 37).cast("string"))
+    ks = PersistentKeyset(
+        spark, os.path.join(tempfile.mkdtemp(prefix="keyset_"), "dict")
+    )
+    ks.assign_or_get(d.filter(F.col("doc_id") % 2 == 0).select(key.alias("key")))
+    ks.assign_or_get(d.select(key.alias("key")))
+    return ks.lookup().orderBy("key")
+
+
 # ---- registry ---------------------------------------------------------------
 
 QUERIES = {
@@ -804,4 +963,5 @@ QUERIES = {
     "geoip_enrich": geoip_enrich,
     "rdns_hosts": rdns_hosts,
     "doc_dense_ids": doc_dense_ids,
+    "keyset_assign_documents": keyset_assign_documents,
 }

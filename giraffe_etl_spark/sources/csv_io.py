@@ -31,33 +31,69 @@ def read_csv_quarantined(
     """(parsed, quarantined) pair from a CSV file tree.
 
     ``parsed`` rows fully matched the declared schema; ``quarantined``
-    rows carry the raw offending line in ``line``.  The reader is the
-    JVM-native CSV source (pushdown-friendly, whole-stage codegen) —
-    no Python in the path.
+    rows carry the raw offending line in ``line``.
 
-    ``multiline``: required to read back values with embedded quoted
-    newlines, but it makes each FILE (not each split) the unit of
-    parallelism — leave off for 100 TB line-oriented logs and scrub
-    newlines at export time instead.
+    Default (line-oriented) path — the 100 TB shape: the files are
+    scanned as TEXT and parsed with the ``from_csv`` expression
+    (JVM-side, whole-stage codegen).  Because the corrupt marker is a
+    derived expression over the text scan — not the CSV source's
+    internal corrupt column — both routes are plain streaming filters:
+    NOTHING is cached, each route is one bounded pass over the splits.
+    (Spark's native CSV source requires materializing the whole parsed
+    frame before its corrupt column may be referenced — an unbounded
+    cache of the raw input, wrong at scale.)
+
+    ``multiline=True``: required to read back values with embedded
+    quoted newlines; falls back to the native CSV source, which makes
+    each FILE (not each split) the unit of parallelism AND needs the
+    corrupt-column materialization — bounded here by a
+    MEMORY_AND_DISK persist (spills, never OOMs).  Leave it off for
+    100 TB line-oriented logs and scrub newlines at export time.
     """
+    from pyspark.sql.types import StructType
+
     full_schema = schema_ddl + f", {CORRUPT_COL} string"
-    df = (
-        spark.read.schema(full_schema)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", CORRUPT_COL)
-        .option("sep", sep)
-        .option("header", str(header).lower())
-        .option("quote", quote)
-        .option("escape", escape)
-        .option("multiLine", str(multiline).lower())
-        .csv(path)
-        # columnNameOfCorruptRecord requires the parsed frame to be
-        # materialized-with-corrupt-column before filtering on it
-        .cache()
+    if multiline:
+        from pyspark import StorageLevel
+
+        df = (
+            spark.read.schema(full_schema)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", CORRUPT_COL)
+            .option("sep", sep)
+            .option("header", str(header).lower())
+            .option("quote", quote)
+            .option("escape", escape)
+            .option("multiLine", "true")
+            .csv(path)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        parsed = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+        quarantined = df.filter(F.col(CORRUPT_COL).isNotNull()).select(
+            F.col(CORRUPT_COL).alias("line")
+        )
+        return parsed, quarantined
+
+    opts = {
+        "sep": sep,
+        "quote": quote,
+        "escape": escape,
+        "mode": "PERMISSIVE",
+        "columnNameOfCorruptRecord": CORRUPT_COL,
+    }
+    raw = spark.read.text(path)
+    if header:
+        # from_csv has no header concept; drop lines equal to the
+        # schema's header row (written by write_csv with these names)
+        hdr = sep.join(StructType.fromDDL(schema_ddl).fieldNames())
+        raw = raw.filter(F.col("value") != hdr)
+    rec = F.from_csv(F.col("value"), full_schema, opts)
+    df = raw.select(F.col("value"), rec.alias("_r"))
+    parsed = df.filter(F.col(f"_r.{CORRUPT_COL}").isNull()).select("_r.*").drop(
+        CORRUPT_COL
     )
-    parsed = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
-    quarantined = df.filter(F.col(CORRUPT_COL).isNotNull()).select(
-        F.col(CORRUPT_COL).alias("line")
+    quarantined = df.filter(F.col(f"_r.{CORRUPT_COL}").isNotNull()).select(
+        F.col("value").alias("line")
     )
     return parsed, quarantined
 

@@ -98,9 +98,14 @@ def test_offsets_advance_atomically_with_data(spark, tmp_root):
     props = applier.pages.properties
     assert props["stream.default.last_batch"] == "0"
     assert props["stream.default.last_lsn"] == "89"
-    # the SAME snapshot holds the data files and the offsets
+    # the SAME snapshot holds the data files and the offsets (MOR
+    # commits the batch as delta files; cow would rewrite base files)
     snap = applier.pages.current_snapshot()
-    assert snap.buckets, "data committed in offset-bearing snapshot"
+    assert snap.deltas or snap.buckets, "data committed in offset-bearing snapshot"
+    n_rows = sum(
+        fi["rows"] for m in (snap.deltas, snap.buckets) for fs in m.values() for fi in fs
+    )
+    assert n_rows > 0
 
 
 def test_metrics_lineage_recorded(spark, tmp_root):

@@ -106,3 +106,33 @@ class TestTextStats:
         assert a == b
         assert a != c
         assert -(2**63) <= a < 2**63
+
+
+class TestOracleAsciiPrecondition:
+    """Pins the ASCII precondition the driver's lang/token oracles state.
+
+    The DuckDB oracles for lang_tag_documents / doc_token_count match
+    the Python UDFs only on printable-ASCII text ([a-z]+ vs the
+    accent-aware _WORD_RE; RE2 ASCII \\w vs Python unicode \\w).  The
+    docstrings state the assumption; this test enforces it, so a future
+    non-ASCII test table fails HERE with a pointer instead of silently
+    diverging at the driver's value hash.
+    """
+
+    def test_documents_text_is_printable_ascii(self):
+        import os
+
+        import pyarrow.parquet as pq
+
+        for sf in ("sf0.001", "sf0.01"):
+            path = f"/root/testdata/{sf}/documents.parquet"
+            if not os.path.exists(path):
+                continue
+            texts = pq.read_table(path, columns=["text"]).column("text")
+            for t in texts.to_pylist():
+                assert t is None or (t.isascii() and t.isprintable()), (
+                    f"{sf}: non-printable-ASCII document text found - the "
+                    "lang_tag/doc_token DuckDB oracles' stated ASCII "
+                    "precondition no longer holds; regenerate them with "
+                    "unicode-aware regexes (see __spark_entry__.py)"
+                )

@@ -173,17 +173,37 @@ def test_classify_expr_first_match_wins(spark):
 
 
 def test_classify_join_matches_expr(spark):
+    """Both strategies agree on ALL 13 fields, extracted ones included."""
+    from giraffe_etl_spark.operators.classify import OUT_FIELDS
+
     df = spark.createDataFrame([(i, u) for i, u in enumerate(UAS)], "i int, ua string")
     cls = classify_expr("ua")
     via_expr = {
-        r["i"]: (r["c"]["family"], r["c"]["os"], r["c"]["device"])
+        r["i"]: tuple(r["c"][f] for f in OUT_FIELDS)
         for r in df.select("i", cls.alias("c")).collect()
     }
     joined = classify_join(df, "ua", rules_df(spark))
     via_join = {
-        r["i"]: (r["family"], r["os"], r["device"]) for r in joined.collect()
+        r["i"]: tuple(r[f] for f in OUT_FIELDS) for r in joined.collect()
     }
     assert via_expr == via_join
+
+
+def test_classify_extracts_fields_from_string(spark):
+    """version/os_version/language/model come from capture groups, not
+    constants (UserAgent.java:44-59 extraction-depth analog)."""
+    df = spark.createDataFrame(
+        [
+            ("Mozilla/5.0 (Linux; Android 14; Pixel 8) [de-de] Chrome/120.0",),
+            ("Mozilla/5.0 (Linux; Android 13; SM-G991B) Chrome/119.0",),
+        ],
+        "ua string",
+    )
+    got = [r["c"] for r in df.select(classify_expr("ua").alias("c")).collect()]
+    assert (got[0]["version"], got[0]["os_version"], got[0]["model"],
+            got[0]["language"]) == ("120.0", "14", "Pixel 8", "de-de")
+    assert (got[1]["version"], got[1]["os_version"], got[1]["model"],
+            got[1]["language"]) == ("119.0", "13", "SM-G991B", None)
 
 
 def test_classify_rule_table_swap(spark):
@@ -214,6 +234,21 @@ def test_enrich_hosts_broadcast_lookup(spark):
     )
     miss = got["host99.example.org"]
     assert all(miss[f] is None for f in GEO_FIELDS)
+    # 7-field parity (GeoIPResolver.java:33-133 analog)
+    assert len(GEO_FIELDS) == 7
+    assert (hit["city"], hit["latitude"], hit["longitude"]) == ("c3", -86.5, -176.5)
+
+
+def test_enrich_hosts_unmatched_route(spark):
+    """unmatched='route' splits misses to a dead-letter side."""
+    geo = geo_table(spark, n_hosts=10)
+    df = spark.createDataFrame(
+        [("host3.example.org",), ("host99.example.org",)], "host string"
+    )
+    matched, missed = enrich_hosts(df, geo, unmatched="route")
+    assert [r["host"] for r in matched.collect()] == ["host3.example.org"]
+    assert [r["host"] for r in missed.collect()] == ["host99.example.org"]
+    assert missed.columns == ["host"]  # original row shape, no null geo
 
 
 def test_reenrich_stale_ttl(spark):
@@ -224,10 +259,11 @@ def test_reenrich_stale_ttl(spark):
     now = dt.datetime(2024, 1, 10)
     base = spark.createDataFrame(
         [
-            ("host1.example.org", "STALE-COUNTRY", "r?", 0, "o?", t_old),
-            ("host2.example.org", "keepme", "rk", 42, "ok", t_fresh),
+            ("host1.example.org", "STALE-COUNTRY", "r?", "c?", 0.0, 0.0, 0, "o?", t_old),
+            ("host2.example.org", "keepme", "rk", "ck", 1.5, 2.5, 42, "ok", t_fresh),
         ],
-        "host string, country string, region string, asn bigint, org string, "
+        "host string, country string, region string, city string, "
+        "latitude double, longitude double, asn bigint, org string, "
         "enriched_at timestamp",
     )
     out = {

@@ -34,3 +34,44 @@ def test_dense_ids_ordered_matches_row_number(spark):
 def test_dense_ids_empty(spark):
     df = spark.createDataFrame([], "k long")
     assert dense_ids(df).count() == 0
+
+
+class TestPersistentKeyset:
+    """BDBNumberedKeyset analog: assign-or-get across runs."""
+
+    def _ks(self, spark, tmp_root):
+        from giraffe_etl_spark.operators.keyset import PersistentKeyset
+
+        import os
+        return PersistentKeyset(spark, os.path.join(tmp_root, "dict"))
+
+    def test_cross_batch_stability(self, spark, tmp_root):
+        ks = self._ks(spark, tmp_root)
+        b1 = spark.createDataFrame([("b",), ("a",), ("c",)], "key string")
+        got1 = {r.key: r.dense_id for r in ks.assign_or_get(b1).collect()}
+        assert got1 == {"a": 0, "b": 1, "c": 2}  # sorted-key order
+        # second batch: existing keys keep ids, new keys extend
+        b2 = spark.createDataFrame([("c",), ("e",), ("d",), (None,)], "key string")
+        got2 = {r.key: r.dense_id for r in ks.assign_or_get(b2).collect()}
+        assert got2 == {"c": 2, "d": 3, "e": 4}
+
+    def test_replay_is_idempotent(self, spark, tmp_root):
+        ks = self._ks(spark, tmp_root)
+        b = spark.createDataFrame([("x",), ("y",)], "key string")
+        first = {r.key: r.dense_id for r in ks.assign_or_get(b).collect()}
+        again = {r.key: r.dense_id for r in ks.assign_or_get(b).collect()}
+        assert first == again
+        assert ks.lookup().count() == 2
+
+    def test_reopen_resumes_dictionary(self, spark, tmp_root):
+        ks = self._ks(spark, tmp_root)
+        ks.assign_or_get(spark.createDataFrame([("k1",)], "key string"))
+        # a fresh keyset over the same path sees the committed state
+        ks2 = self._ks(spark, tmp_root)
+        got = {
+            r.key: r.dense_id
+            for r in ks2.assign_or_get(
+                spark.createDataFrame([("k1",), ("k0",)], "key string")
+            ).collect()
+        }
+        assert got == {"k1": 0, "k0": 1}

@@ -79,6 +79,30 @@ def test_minhash_lsh_dedup_removes_cluster(spark, docs):
     assert 4 in ids and 5 in ids  # distinct docs kept
 
 
+def test_minhash_dedup_cluster_checkpoint_dir(spark, docs, tmp_path):
+    """checkpoint_dir switches localCheckpoint -> reliable checkpoint()
+    (executor-death-safe on a cluster) with identical results; the
+    blocked convergence check (check_every) changes nothing either."""
+    import os
+
+    ckdir = str(tmp_path / "ck")
+    default = sorted(
+        r.doc_id
+        for r in minhash_lsh_dedup(
+            docs, num_hashes=32, bands=16, shingle_n=3, threshold=0.5
+        ).collect()
+    )
+    with_ck = sorted(
+        r.doc_id
+        for r in minhash_lsh_dedup(
+            docs, num_hashes=32, bands=16, shingle_n=3, threshold=0.5,
+            checkpoint_dir=ckdir, check_every=3,
+        ).collect()
+    )
+    assert with_ck == default
+    assert os.path.isdir(ckdir) and os.listdir(ckdir)  # really used
+
+
 def test_simhash_dedup_exact_dups(spark, docs):
     out = simhash_dedup(docs, bits=32)
     ids = sorted(r.doc_id for r in out.collect())

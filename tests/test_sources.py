@@ -58,3 +58,19 @@ def test_jdbc_reader_wiring(spark):
     assert r is not None
     with pytest.raises(ValueError, match="requires"):
         jdbc_reader(spark, "jdbc:x", "t", partition_column="c")
+
+
+def test_csv_streaming_path_has_no_cache(spark, tmp_root):
+    """The line-oriented read must not cache/persist the raw input.
+
+    The 100 TB contract: both routes are streaming filters over the
+    text scan — no InMemoryRelation anywhere in either plan.
+    """
+    path = tmp_root + "/raw2.csv"
+    with open(path, "w") as f:
+        f.write("1,a\nbad-line-no-comma\n")
+    parsed, quarantined = read_csv_quarantined(spark, path, "id int, v string")
+    for df in (parsed, quarantined):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" not in plan and "InMemoryRelation" not in plan
+    assert parsed.count() == 1 and quarantined.count() == 1
