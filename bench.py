@@ -64,7 +64,27 @@ BENCH_QUERIES = [
     "geoip_enrich",
     "rdns_hosts",
     "doc_dense_ids",
+    "keyset_assign_documents",
 ]
+
+
+def minhash_dedup_realdocs(spark, sf_dir):
+    """Operator-level bench over the REAL documents corpus.
+
+    The driver query `minhash_dedup_documents` now runs on a planted
+    corpus (structural oracle, short texts); this keeps the
+    full-length-text near-dup number comparable with earlier rounds
+    (same config as the r2 query: 32 hashes, 4 bands, 3-shingles).
+    """
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from giraffe_etl_spark.operators.dedup import minhash_lsh_dedup
+
+    d = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet"))
+    kept = minhash_lsh_dedup(d, num_hashes=32, bands=4, shingle_n=3, threshold=0.7)
+    return kept.select("doc_id")
 
 
 def _warm_python_workers(spark) -> None:
@@ -126,6 +146,7 @@ def run_cdc_bench(
             spark, root, n_buckets=n_buckets,
             dedup_mode=os.environ.get("SPARK_GRAFT_DEDUP", "window"),
             materialize=os.environ.get("SPARK_GRAFT_MATERIALIZE", "keys"),
+            merge_mode=os.environ.get("SPARK_GRAFT_MERGE", "mor"),
         )
         seed_pages(applier.pages, spark.createDataFrame(gen_pages(min(n_keys, 5000))))
         # stage the change stream as a persisted binlog BEFORE the timed
@@ -187,8 +208,8 @@ def main() -> None:
     # bursts last minutes and can inflate a sub-second query 20x; noise
     # only ever adds time, so the min estimates the engine
     q_reps = max(1, int(os.environ.get("SPARK_GRAFT_QUERY_REPS", "2")))
-    for name in BENCH_QUERIES:
-        fn = QUERIES[name]
+    for name in BENCH_QUERIES + ["minhash_dedup_realdocs"]:
+        fn = QUERIES.get(name, globals().get(name))
         best = None
         for _ in range(q_reps):
             t0 = time.monotonic()

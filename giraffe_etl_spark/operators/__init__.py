@@ -5,10 +5,11 @@ from .dedup import (
     ngram_jaccard_pairs,
     simhash_dedup,
     simhash_expr,
+    simhash_md5_expr,
 )
-from .classify import DEFAULT_RULES, classify_expr, classify_join, rules_df
+from .classify import DEFAULT_RULES, classify_expr, classify_join, classify_scan, rules_df
 from .enrich import enrich_hosts, geo_table, reenrich_stale
-from .keyset import dense_ids, dense_ids_ordered
+from .keyset import PersistentKeyset, dense_ids, dense_ids_ordered
 from .rdns import resolve_hosts, reverse_dns_expr, reverse_dns_udf
 from .similarity import brute_force_topk, embedding_neardup_pairs, lsh_topk
 from .weblog import parse_weblog, weblog_stats
@@ -28,6 +29,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "simhash_dedup",
     "simhash_expr",
+    "simhash_md5_expr",
     "brute_force_topk",
     "lsh_topk",
     "embedding_neardup_pairs",
@@ -39,6 +41,7 @@ __all__ = [
     "token_count_expr",
     "classify_expr",
     "classify_join",
+    "classify_scan",
     "rules_df",
     "DEFAULT_RULES",
     "enrich_hosts",
@@ -46,6 +49,7 @@ __all__ = [
     "reenrich_stale",
     "dense_ids",
     "dense_ids_ordered",
+    "PersistentKeyset",
     "resolve_hosts",
     "reverse_dns_expr",
     "reverse_dns_udf",

@@ -17,8 +17,12 @@ execution strategies:
   in a table that changes without replanning (giraffe's rules-XML
   reload analog).  Extractor patterns ride the rule table as columns
   and are applied with a column-pattern ``regexp_extract``.
+- ``classify_scan``: rules as one array<struct> literal, first match
+  picked per row with array_min(filter(...)) — rules still data, but
+  ZERO shuffles of the fact side (classify_join regroups it twice);
+  the fact-scale path.
 
-Both strategies are property-tested to agree.
+All strategies are property-tested to agree.
 
 Field mapping onto the reference's 13 outputs: family<-agentName,
 version<-agentVersion, language<-agentLanguage, os<-OS,
@@ -145,6 +149,69 @@ def rules_df(spark: SparkSession, rules: list[dict] | None = None) -> DataFrame:
         f"{f} string, {f}_re string" for f in OUT_FIELDS
     )
     return spark.createDataFrame(rows, ddl)
+
+
+def classify_scan(
+    df: DataFrame, col: str, rules: list[dict] | None = None,
+    unknown: dict | None = None,
+) -> DataFrame:
+    """Zero-shuffle rules-as-data: the fact-scale classification path.
+
+    The rule list becomes one ``array<struct>`` literal; each row picks
+    its first match with ``array_min(filter(rules, r -> ua rlike
+    r.pattern))`` — min over (priority, ...) structs IS first-match-
+    wins — then extracts capture-group fields from the picked rule's
+    patterns.  Two whole-stage-codegen projections, no join, no
+    ``monotonically_increasing_id``, and crucially ZERO shuffles of the
+    fact table (``classify_join`` regroups it twice; fine at dimension
+    scale, wrong for a 100 TB fact scan).  Plan-locked by
+    ``test_classify_scan_zero_shuffle``.
+    """
+    rules = sorted(rules or DEFAULT_RULES, key=lambda r: r["priority"])
+    unknown = unknown or UNKNOWN
+
+    def lit_or_null(v):
+        return F.lit(v).cast("string")
+
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(r["priority"]).alias("priority"),
+                F.lit(r["pattern"]).alias("pattern"),
+                *[
+                    x
+                    for f in OUT_FIELDS
+                    for x in (
+                        lit_or_null(
+                            None if isinstance(r.get(f), dict) else r.get(f)
+                        ).alias(f),
+                        lit_or_null(
+                            r[f]["re"] if isinstance(r.get(f), dict) else None
+                        ).alias(f"{f}_re"),
+                    )
+                ],
+            )
+            for r in rules
+        ]
+    )
+    c = F.col(col)
+    picked = df.withColumn(
+        "_rule",
+        F.array_min(F.filter(arr, lambda r: F.regexp_like(c, r.getField("pattern")))),
+    )
+    out_cols = [
+        F.when(
+            F.col("_rule").isNotNull(),
+            F.coalesce(
+                F.col(f"_rule.{f}"),
+                F.nullif(F.expr(f"regexp_extract({col}, _rule.{f}_re, 1)"), F.lit("")),
+            ),
+        )
+        .otherwise(F.lit(unknown.get(f)).cast("string"))
+        .alias(f)
+        for f in OUT_FIELDS
+    ]
+    return picked.select(*[F.col(x) for x in df.columns], *out_cols)
 
 
 def classify_join(

@@ -189,6 +189,27 @@ def test_classify_join_matches_expr(spark):
     assert via_expr == via_join
 
 
+def test_classify_scan_matches_expr_and_is_shuffle_free(spark):
+    """classify_scan: same answers as the when-chain, zero exchanges."""
+    from giraffe_etl_spark.operators.classify import OUT_FIELDS, classify_scan
+    from tests.test_plans import n_exchanges, plan_of
+
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(UAS)], "i int, ua string")
+    cls = classify_expr("ua")
+    via_expr = {
+        r["i"]: tuple(r["c"][f] for f in OUT_FIELDS)
+        for r in df.select("i", cls.alias("c")).collect()
+    }
+    scanned = classify_scan(df, "ua")
+    via_scan = {
+        r["i"]: tuple(r[f] for f in OUT_FIELDS) for r in scanned.collect()
+    }
+    assert via_expr == via_scan
+    plan = plan_of(scanned)
+    assert n_exchanges(plan) == 0, plan
+    assert "BroadcastHashJoin" not in plan  # no join at all
+
+
 def test_classify_extracts_fields_from_string(spark):
     """version/os_version/language/model come from capture groups, not
     constants (UserAgent.java:44-59 extraction-depth analog)."""
