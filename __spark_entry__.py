@@ -230,8 +230,49 @@ def _cdc_replay_sql() -> str:
     """
 
 
+def _cdc_changelog_sql() -> str:
+    """DuckDB oracle for the batch-1 changelog (queries.cdc_changelog_read).
+
+    The changelog rows a MOR commit emits are the batch's within-batch
+    LWW winners: upserts with the extracted text + voted lang, deletes
+    as tombstones with null payload.  Recomputable with one window over
+    the batch's share of the events-derived change stream (lsn % 3 = 1,
+    op='X' rows quarantined away).
+    """
+    from giraffe_etl_spark.queries import CDC_FILLERS
+
+    fillers = ", ".join(f"'{t}'" for _, t in CDC_FILLERS)
+    langs = ", ".join(f"'{code}'" for code, _ in CDC_FILLERS)
+    return f"""
+        WITH ch AS (
+          SELECT event_id AS lsn,
+                 'http://host' || CAST(user_id % 20 AS VARCHAR)
+                   || '.example.org/page/' || CAST(user_id AS VARCHAR) AS url,
+                 ts AS warc_ts,
+                 CASE WHEN event_id % 97 = 0 THEN 'X'
+                      WHEN event_id % 10 < 6 THEN 'I'
+                      WHEN event_id % 10 < 9 THEN 'U' ELSE 'D' END AS op,
+                 [{fillers}][CAST(user_id % 5 AS INTEGER) + 1] AS filler,
+                 [{langs}][CAST(user_id % 5 AS INTEGER) + 1] AS lang
+          FROM events),
+        valid AS (SELECT * FROM ch WHERE op <> 'X' AND lsn % 3 = 1),
+        win AS (
+          SELECT *, row_number() OVER (
+                     PARTITION BY url ORDER BY warc_ts DESC, lsn DESC) AS rn
+          FROM valid)
+        SELECT url, warc_ts, lsn, (op = 'D') AS deleted,
+               CASE WHEN op <> 'D' THEN
+                 'doc ' || CAST(lsn AS VARCHAR) || ' ' || url || ' '
+                   || filler || ' rev ' || CAST(lsn AS VARCHAR) END AS text,
+               CASE WHEN op <> 'D' THEN lang END AS lang
+        FROM win WHERE rn = 1
+        ORDER BY url, lsn
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "cdc_changelog_read": _cdc_changelog_sql(),
         "lang_vote_rollup": _lang_vote_sql(),
         "lang_tag_documents": _lang_tag_docs_sql(),
         "simhash_documents": _simhash_md5_sql(),

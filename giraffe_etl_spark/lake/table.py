@@ -583,6 +583,149 @@ class Table:
         base = self.current_snapshot()
         return self._commit(base, base.buckets, updates)
 
+    # ---- changelog emission (CDC out) -------------------------------------
+
+    def commits_between(
+        self, from_id: int, to_id: int | None = None
+    ) -> list[tuple[Snapshot, list[dict], list[str]]]:
+        """Per-commit file diff over (from_id, to_id].
+
+        Snapshot ids are sequential, so the commit history is walked
+        manifest by manifest (driver-side JSON reads, no data I/O).
+        Returns ``[(snapshot, files_added, paths_removed), ...]`` in
+        commit order.  A commit that removed files is a REWRITE
+        (copy-on-write merge, delta compaction, tombstone expiry): its
+        added files restate surviving rows rather than describing
+        changes.
+        """
+        to_id = to_id if to_id is not None else self.current_snapshot().snapshot_id
+        out = []
+        prev = self.snapshot_at(from_id)
+        for k in range(from_id + 1, to_id + 1):
+            snap = self.snapshot_at(k)
+
+            def paths(s: Snapshot) -> set[str]:
+                return {
+                    fi["path"]
+                    for m in (s.buckets, s.deltas)
+                    for fs in m.values()
+                    for fi in fs
+                }
+
+            def entries(s: Snapshot) -> list[dict]:
+                return [
+                    fi
+                    for m in (s.buckets, s.deltas)
+                    for fs in m.values()
+                    for fi in fs
+                ]
+
+            prev_paths = paths(prev)
+            added = [fi for fi in entries(snap) if fi["path"] not in prev_paths]
+            removed = sorted(prev_paths - paths(snap))
+            out.append((snap, added, removed))
+            prev = snap
+        return out
+
+    def read_changes(
+        self,
+        from_snapshot_id: int,
+        to_snapshot_id: int | None = None,
+        on_rewrite: str = "error",
+        with_commit_col: bool = False,
+    ) -> DataFrame:
+        """Incremental scan: rows ADDED by commits in (from, to].
+
+        The CDC-out side of the engine: a downstream consumer that saw
+        snapshot ``from`` reads exactly the new row versions (upserts +
+        tombstones under merge-on-read — each MOR commit's delta files
+        ARE its change rows; plain appends are inserts), mapped onto the
+        ``to`` snapshot's schema.  O(changed files) I/O — base files
+        are never re-read.
+
+        Rewrite commits (copy-on-write merge, ``compact_deltas``,
+        ``compact_tombstones``) restate surviving rows instead of
+        describing changes, so their added files are NOT a changelog:
+        ``on_rewrite="error"`` (default) raises — consumers must read
+        ranges that end before a rewrite or resync from a full scan —
+        while ``"skip"`` drops those commits' files and keeps the
+        pure-append commits' rows (Iceberg's changelog scan makes the
+        same distinction for replace snapshots).
+
+        ``with_commit_col`` appends ``_commit_snapshot`` (the snapshot
+        id that introduced each row) for consumers that need commit
+        ordering.
+        """
+        if on_rewrite not in ("error", "skip"):
+            raise ValueError(f"on_rewrite must be 'error' or 'skip': {on_rewrite!r}")
+        to_snap = (
+            self.current_snapshot()
+            if to_snapshot_id is None
+            else self.snapshot_at(to_snapshot_id)
+        )
+        parts = []
+        for snap, added, removed in self.commits_between(
+            from_snapshot_id, to_snap.snapshot_id
+        ):
+            if removed:
+                if on_rewrite == "error":
+                    raise ValueError(
+                        f"snapshot {snap.snapshot_id} rewrote "
+                        f"{len(removed)} file(s) (compaction or copy-on-write "
+                        f"merge) — not a pure-append commit; read up to "
+                        f"snapshot {snap.snapshot_id - 1}, resync from a full "
+                        f"scan, or pass on_rewrite='skip'"
+                    )
+                continue
+            if not added:
+                continue
+            df = self._scan(to_snap, added, with_bucket_col=False)
+            if with_commit_col:
+                df = df.withColumn(
+                    "_commit_snapshot", F.lit(snap.snapshot_id).cast("long")
+                )
+            parts.append(df)
+        if not parts:
+            empty = self.spark.createDataFrame([], self._current_struct(to_snap))
+            if with_commit_col:
+                empty = empty.withColumn(
+                    "_commit_snapshot", F.lit(None).cast("long")
+                )
+            return empty
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def rollback(self, snapshot_id: int) -> Snapshot:
+        """Roll the table back to an earlier snapshot's state.
+
+        Non-destructive (Iceberg-style): commits a NEW snapshot whose
+        content — file lists, deltas, schema, properties — equals the
+        target's, so history stays linear, concurrent readers of the
+        bad snapshots are unaffected, and the rollback itself can be
+        rolled back.  Data files are shared by reference; nothing is
+        rewritten.
+        """
+        target = self.snapshot_at(snapshot_id)
+        base = self.current_snapshot()
+        snap = Snapshot(
+            snapshot_id=base.snapshot_id + 1,
+            parent_id=base.snapshot_id,
+            schema_id=target.schema_id,
+            schemas=target.schemas,
+            buckets=target.buckets,
+            properties=dict(target.properties),
+            summary={
+                "n_files": sum(len(v) for v in target.buckets.values()),
+                "n_delta_files": sum(len(v) for v in target.deltas.values()),
+                "rolled_back_to": snapshot_id,
+            },
+            deltas=target.deltas,
+        )
+        self._write_snapshot(snap)
+        return snap
+
     def _commit(
         self,
         base: Snapshot,

@@ -504,6 +504,40 @@ def cdc_replay_synthetic(spark, sf_dir):
     )
 
 
+def cdc_changelog_read(spark, sf_dir):
+    """Changelog emission (CDC out): incremental read between snapshots.
+
+    Applies the same events-derived stream as ``cdc_replay_synthetic``
+    in 3 batches, then reads ONLY the rows committed by batch 1 via
+    ``Table.read_changes`` (the snapshot-diff scan: O(changed files),
+    base files never re-read).  Under merge-on-read each commit's delta
+    files ARE its change rows, so the result is exactly batch 1's
+    within-batch LWW winners — upserts carrying the fused text/lang
+    transforms, deletes as tombstones with null payload — which the
+    DuckDB oracle recomputes with one window over the batch's events.
+    """
+    import tempfile
+
+    from .cdc import CdcApplier
+
+    root = tempfile.mkdtemp(prefix="cdc_changelog_")
+    changes = cdc_changes_from_events(spark, sf_dir)
+    applier = CdcApplier(spark, root, n_buckets=8)
+    snaps = [applier.pages.current_snapshot().snapshot_id]
+    for b in range(3):
+        applier.apply_batch(changes.filter(F.col("lsn") % 3 == b), batch_id=b)
+        snaps.append(applier.pages.current_snapshot().snapshot_id)
+    delta = applier.pages.read_changes(snaps[1], snaps[2])
+    return delta.select(
+        "url",
+        "warc_ts",
+        F.col("_lsn").alias("lsn"),
+        F.col("_deleted").alias("deleted"),
+        "text",
+        "lang",
+    ).orderBy("url", "lsn")
+
+
 def _planted_neardup_corpus(d: DataFrame) -> DataFrame:
     """Documents corpus with STRUCTURALLY planted near-dup clusters.
 
@@ -950,6 +984,7 @@ QUERIES = {
     "doc_stats_by_lang": doc_stats_by_lang,
     "ann_topk_cosine": ann_topk_cosine,
     "cdc_replay_synthetic": cdc_replay_synthetic,
+    "cdc_changelog_read": cdc_changelog_read,
     "minhash_dedup_documents": minhash_dedup_documents,
     "simhash_documents": simhash_documents,
     "embedding_neardup": embedding_neardup,
