@@ -190,7 +190,7 @@ class Table:
             schemas={"0": fields},
             buckets={},
             properties=props,
-            summary={"total_rows": 0},
+            summary={"total_rows": 0, "operation": "create"},
         )
         t._write_snapshot(snap)
         return t
@@ -455,7 +455,7 @@ class Table:
         buckets = {b: list(fs) for b, fs in base.buckets.items()}
         for b, fs in new_files.items():
             buckets.setdefault(b, []).extend(fs)
-        return self._commit(base, buckets, properties_update)
+        return self._commit(base, buckets, properties_update, operation="append")
 
     def append_local(
         self,
@@ -503,7 +503,7 @@ class Table:
         entry = {"path": path, "schema_id": base.schema_id, "rows": len(pdf)}
         buckets = {b: list(fs) for b, fs in base.buckets.items()}
         buckets.setdefault("0", []).append(entry)
-        return self._commit(base, buckets, properties_update)
+        return self._commit(base, buckets, properties_update, operation="append")
 
     def overwrite_buckets(
         self,
@@ -513,6 +513,7 @@ class Table:
         base: Snapshot | None = None,
         clustered: bool = False,
         phases: dict | None = None,
+        operation: str = "overwrite",
     ) -> Snapshot:
         """Replace the file sets of ``bucket_ids`` with df's data.
 
@@ -538,7 +539,9 @@ class Table:
         for b, fs in new_files.items():
             buckets[b] = fs
         deltas = {b: fs for b, fs in base.deltas.items() if b not in touched}
-        return self._commit(base, buckets, properties_update, deltas=deltas)
+        return self._commit(
+            base, buckets, properties_update, deltas=deltas, operation=operation
+        )
 
     def append_deltas(
         self,
@@ -577,11 +580,14 @@ class Table:
         deltas = {b: list(fs) for b, fs in base.deltas.items()}
         for b, fs in new_files.items():
             deltas.setdefault(b, []).extend(fs)
-        return self._commit(base, base.buckets, properties_update, deltas=deltas)
+        return self._commit(
+            base, base.buckets, properties_update, deltas=deltas,
+            operation="delta-append",
+        )
 
     def set_properties(self, updates: dict[str, str]) -> Snapshot:
         base = self.current_snapshot()
-        return self._commit(base, base.buckets, updates)
+        return self._commit(base, base.buckets, updates, operation="metadata")
 
     # ---- changelog emission (CDC out) -------------------------------------
 
@@ -720,11 +726,85 @@ class Table:
                 "n_files": sum(len(v) for v in target.buckets.values()),
                 "n_delta_files": sum(len(v) for v in target.deltas.values()),
                 "rolled_back_to": snapshot_id,
+                "operation": "rollback",
             },
             deltas=target.deltas,
         )
         self._write_snapshot(snap)
         return snap
+
+    def rescale_buckets(self, new_n: int) -> Snapshot:
+        """Grow the bucket layout to ``new_n`` = k x current, shuffle-free.
+
+        A table sized for 1 TB is mis-bucketed at 100 TB: buckets grow
+        unboundedly and per-bucket parallelism saturates.  Because the
+        transform is ``pmod(hash(key), N)`` and ``pmod(h, kN) mod N ==
+        pmod(h, N)``, every row of old bucket b lands in one of the k
+        new buckets ``{b, b+N, ..., b+(k-1)N}`` — so the rewrite is a
+        per-file LOCAL split: each task reads one file and fans its
+        rows into at most k output files via ``partitionBy``, with NO
+        exchange anywhere in the plan (plan-locked by test).  Base
+        files split into base files and delta files into delta files —
+        reconcile semantics are per key and bucket-id independent, so
+        deltas survive the rescale untouched (no fold, no reconcile
+        shuffle).
+
+        This is a REWRITE commit (old files removed): ``read_changes``
+        refuses to cross it, exactly like compaction.  At 100 TB it
+        runs like compaction — rarely, snapshot-isolated, and losing
+        the optimistic-concurrency race to a concurrent batch commit
+        raises ``CommitConflict`` (retry on the new base).  Subsequent
+        ``CdcApplier`` batches pick the new count up from the table
+        (``bucket_expr``/``n_buckets`` read the current snapshot).
+        Shrinking is intentionally unsupported: it needs file
+        re-labeling (k old buckets map wholly onto one new bucket),
+        which the path-derived ``_bucket`` column cannot express.
+        """
+        snap = self.current_snapshot()
+        old_n = int(snap.properties["bucket.count"])
+        if new_n == old_n:
+            return snap
+        if new_n < old_n or new_n % old_n != 0:
+            raise ValueError(
+                f"bucket rescale must grow by an integer factor: "
+                f"{old_n} -> {new_n}"
+            )
+        key = snap.properties["bucket.key"]
+        newb = F.pmod(F.hash(F.col(key)), F.lit(new_n)).cast("int")
+
+        def split(manifest: dict[str, list[dict]]) -> dict[str, list[dict]]:
+            entries = [fi for fs in manifest.values() for fi in fs]
+            if not entries:
+                return {}
+            df = self._scan(snap, entries, with_bucket_col=False)
+            return self._write_files(
+                df.withColumn("_bucket", newb), clustered=True
+            )
+
+        buckets = split(snap.buckets)
+        deltas = split(snap.deltas)
+        return self._commit(
+            snap,
+            buckets,
+            {"bucket.count": str(new_n)},
+            deltas=deltas,
+            operation="rescale",
+        )
+
+    def rescale_split_frame(self, snap: Snapshot | None = None, new_n: int = 0):
+        """The split DataFrame ``rescale_buckets`` writes (plan tests)."""
+        snap = snap or self.current_snapshot()
+        entries = [
+            fi
+            for m in (snap.buckets, snap.deltas)
+            for fs in m.values()
+            for fi in fs
+        ]
+        key = snap.properties["bucket.key"]
+        newb = F.pmod(F.hash(F.col(key)), F.lit(new_n)).cast("int")
+        return self._scan(snap, entries, with_bucket_col=False).withColumn(
+            "_bucket", newb
+        )
 
     def _commit(
         self,
@@ -734,6 +814,7 @@ class Table:
         schema_id: int | None = None,
         schemas: dict[str, list[dict]] | None = None,
         deltas: dict[str, list[dict]] | None = None,
+        operation: str = "append",
     ) -> Snapshot:
         props = dict(base.properties)
         props.update(properties_update or {})
@@ -748,6 +829,11 @@ class Table:
             summary={
                 "n_files": sum(len(v) for v in buckets.values()),
                 "n_delta_files": sum(len(v) for v in deltas.values()),
+                # Iceberg-style snapshot operation: lets changelog
+                # consumers tell content-preserving rewrites (compact,
+                # rescale) from content-changing ones (overwrite,
+                # rollback) without reading any data
+                "operation": operation,
             },
             deltas=deltas,
         )
@@ -763,7 +849,10 @@ class Table:
         new_sid = max(int(s) for s in base.schemas) + 1
         schemas = dict(base.schemas)
         schemas[str(new_sid)] = fields
-        return self._commit(base, base.buckets, None, schema_id=new_sid, schemas=schemas)
+        return self._commit(
+            base, base.buckets, None, schema_id=new_sid, schemas=schemas,
+            operation="metadata",
+        )
 
     def add_column(self, name: str, spark_type: str) -> Snapshot:
         def mutate(fields):
@@ -821,7 +910,7 @@ class Table:
         if not fragmented:
             return []
         df = self.read(snap=snap, buckets=fragmented, with_bucket_col=True)
-        self.overwrite_buckets(fragmented, df, base=snap)
+        self.overwrite_buckets(fragmented, df, base=snap, operation="compact")
         return sorted(fragmented)
 
     def compact_deltas(
@@ -847,7 +936,7 @@ class Table:
         if not targets:
             return []
         df = self.read(snap=snap, buckets=targets, with_bucket_col=True)
-        self.overwrite_buckets(targets, df, base=snap)
+        self.overwrite_buckets(targets, df, base=snap, operation="compact")
         return sorted(targets)
 
     def expire_orphan_files(self) -> int:
