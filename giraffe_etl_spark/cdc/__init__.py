@@ -1,11 +1,18 @@
 from .convert import FieldSpec, convert_typed, split_conversion_errors
-from .apply import CdcApplier, create_pages_table, read_pages, seed_pages
+from .apply import (
+    BatchRaced,
+    CdcApplier,
+    create_pages_table,
+    read_pages,
+    seed_pages,
+)
 from .generate import ChangeGenConfig, changes_df, gen_changes, gen_pages, pages_df
 from .follow import ChangelogFollower, ResyncRequired
 from .oracle import oracle_apply, oracle_quarantine, validity_reason
 from .replay import ReplayReport, replay
 
 __all__ = [
+    "BatchRaced",
     "CdcApplier",
     "ChangelogFollower",
     "ResyncRequired",

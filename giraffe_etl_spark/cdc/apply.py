@@ -105,6 +105,19 @@ def read_pages(table: Table) -> DataFrame:
     return df.filter(~F.col("_deleted")).select(*keep)
 
 
+class BatchRaced(Exception):
+    """A concurrent applier committed this batch id during our commit.
+
+    Raised by the watermark guard inside the commit-retry loop
+    (``Table._retry_commit``): we lost the optimistic-concurrency race
+    AND the fresh snapshot shows our own batch already applied — the
+    only safe move is to NOT retry (retrying would apply the batch
+    twice).  ``apply_batch`` converts this into a skipped
+    ``ApplyResult``; the already-written delta files are unreferenced
+    and reaped by ``expire_snapshots``.
+    """
+
+
 @dataclass
 class ApplyResult:
     batch_id: int
@@ -157,11 +170,17 @@ class CdcApplier:
         adaptive: bool | None = False,
         merge_mode: str = "mor",
         compact_threshold: int = 16,
+        planning: str = "auto",
+        plan_sample: float = 0.02,
     ):
         if materialize not in ("keys", "batch"):
             raise ValueError(f"materialize must be 'keys' or 'batch': {materialize!r}")
         if merge_mode not in ("mor", "cow"):
             raise ValueError(f"merge_mode must be 'mor' or 'cow': {merge_mode!r}")
+        if planning not in ("auto", "scan", "sample"):
+            raise ValueError(
+                f"planning must be 'auto', 'scan' or 'sample': {planning!r}"
+            )
         # AQE has nothing to decide on the apply path — partition counts
         # are pinned (the aligned exchange MUST be exactly n_buckets),
         # skew is handled by explicit salting, and the broadcast-size
@@ -197,6 +216,32 @@ class CdcApplier:
         # MOR maintenance: fold a bucket's deltas into its base when it
         # accumulates more than this many delta files (0 disables)
         self.compact_threshold = compact_threshold
+        # ``planning`` — how the per-batch plan (touched buckets, skew /
+        # hot-key list, counts) is obtained in keys mode:
+        #
+        # - "scan": a full column-pruned pass over the batch aggregates
+        #   per-key stats exactly (the r2 design).  Measured cost: the
+        #   2M-row groupBy(raw url) + shuffle scales only ~1.4x from 1
+        #   to 4 cores (string-hash aggregation is allocation-bound),
+        #   so at cluster sizes it becomes the serial fraction of the
+        #   whole batch.
+        # - "sample": hot keys + the valid-count estimate come from a
+        #   ``plan_sample`` Bernoulli sample (one tiny aggregate); the
+        #   touched-bucket set and exact counts derive from the MERGE
+        #   COMMIT itself (delta manifests + write-job observations) —
+        #   the batch is scanned ONCE, not twice.  Detection is
+        #   reliable exactly when skew matters: the auto threshold
+        #   grows with the batch (4x mean-per-partition), so a hot
+        #   key's expected sample count is >= plan_sample * threshold
+        #   (thousands at 10^8-event batches).  With a PINNED small
+        #   threshold the fraction is raised to keep >= ~24 expected
+        #   samples per hot key.
+        # - "auto" (default): "sample" for the mor + window + keys
+        #   shape (where the commit can derive the plan), "scan"
+        #   otherwise (cow must declare its buckets up front;
+        #   rank_join/batch modes reuse the exact aggregate).
+        self.planning = planning
+        self.plan_sample = plan_sample
         # prebuilt (reason, canonical-url) expression pair: constructing
         # the normalize tree costs ~1 s of driver-side py4j calls, a
         # pure serial cost per batch if rebuilt — build once, reuse
@@ -251,9 +296,23 @@ class CdcApplier:
             self.spark.conf.set(aqe_key, str(bool(self.adaptive)).lower())
         try:
             return self._apply_batch_inner(changes, batch_id, lsn_range, t0)
+        except BatchRaced:
+            # a concurrent applier won the commit race with this very
+            # batch id — exactly-once means our copy must not land
+            return ApplyResult(batch_id=batch_id, skipped=True)
         finally:
             if self.adaptive is not None:
                 self.spark.conf.set(aqe_key, aqe_old)
+
+    def _watermark_guard(self, batch_id: int):
+        """Abort a commit retry if the fresh snapshot covers batch_id."""
+        key = f"stream.{self.stream_id}.last_batch"
+
+        def guard(fresh) -> None:
+            if int(fresh.properties.get(key, "-1")) >= batch_id:
+                raise BatchRaced(batch_id)
+
+        return guard
 
     def _apply_batch_inner(
         self,
@@ -275,7 +334,19 @@ class CdcApplier:
         if self.materialize == "batch":
             tagged = cached_batch = tagged.persist(StorageLevel.MEMORY_AND_DISK)
         valid = tagged.filter(F.col("_reason").isNull()).drop("_reason")
-        if cached_batch is not None:
+        sampled = cached_batch is None and self._sampled_planning()
+        keys = None
+        if sampled:
+            # sampled planning: no per-key aggregate at all — the exact
+            # valid-row count rides the MERGE job as an observation, and
+            # the touched buckets / per-bucket counts come from the
+            # committed delta manifests.  The batch is scanned once.
+            from pyspark.sql import Observation
+
+            obs_v = Observation()
+            valid = valid.observe(obs_v, F.count(F.lit(1)).alias("n_valid"))
+            exact_keys = False
+        elif cached_batch is not None:
             # batch mode: exact per-key aggregate off the cache (the
             # in-memory columnar scan prunes to url/warc_ts/lsn)
             keys = key_stats(valid).persist()
@@ -338,51 +409,97 @@ class CdcApplier:
             # broadcast exchange — the tiny list compiles to an isin).
             t_p = time.monotonic()
             phases["setup"] = int((t_p - t0) * 1000)
-            hot_floor = (
-                self.hot_key_threshold
-                if self.hot_key_threshold
-                else _HOT_FLOOR
-            )
-            plan_rows = (
-                keys.select(
-                    self.pages.bucket_expr("url").alias("_bucket"),
-                    F.col("_events"),
-                    F.col("url"),
+            if sampled:
+                # one tiny aggregate over a Bernoulli sample: estimated
+                # valid-event total (feeds the auto skew threshold) and
+                # the hot-key candidate list (canonicalized, so the
+                # salting isin matches the deduped url column).  The
+                # seed is pinned per batch id — deterministic replay.
+                frac = self._plan_fraction()
+                smp = key_stats_two_level(
+                    changes.select("url", "warc_ts", "lsn")
+                    .filter(
+                        F.col("url").isNotNull() & (F.trim(F.col("url")) != "")
+                    )
+                    .sample(fraction=frac, seed=42 + batch_id),
+                    self._exprs[1],
                 )
-                .groupBy("_bucket")
-                .agg(
-                    F.count(F.lit(1)).alias("cnt"),
-                    F.sum(F.col("_events")).alias("ev"),
+                srow = smp.agg(
+                    F.sum("_events").alias("tot"),
                     F.slice(
                         F.sort_array(
                             F.collect_list(
                                 F.when(
-                                    F.col("_events") > hot_floor,
+                                    F.col("_events") >= 4,
                                     F.struct("_events", "url"),
                                 )
                             ),
                             asc=False,
                         ),
                         1,
-                        8,
+                        64,
                     ).alias("top"),
+                ).collect()[0]
+                n_valid = int(round((srow["tot"] or 0) / frac))
+                hot_candidates = [
+                    (int(t["_events"] / frac), t["url"])
+                    for t in (srow["top"] or [])
+                ]
+                bucket_counts = None
+                n_changes = 0  # exact count rides the merge observation
+                t_o = time.monotonic()
+                phases["plan_collect"] = int((t_o - t_p) * 1000)
+            else:
+                hot_floor = (
+                    self.hot_key_threshold
+                    if self.hot_key_threshold
+                    else _HOT_FLOOR
                 )
-                .collect()
-            )
-            bucket_counts = {r["_bucket"]: r["cnt"] for r in plan_rows}
-            n_valid = int(sum(r["ev"] for r in plan_rows))
-            t_o = time.monotonic()
-            phases["plan_collect"] = int((t_o - t_p) * 1000)
-            if not exact_keys:
-                # total input rows observed on the planning scan itself.
-                # Observation.get asserts when the optimizer collapsed
-                # the scan to an empty LocalRelation (e.g. a .limit(0)
-                # source) and the observe node never ran — fall back to
-                # a direct count, which is trivial on such plans.
-                try:
-                    n_changes = int(obs.get["n_total"])
-                except Exception:
-                    n_changes = changes.count()
+                plan_rows = (
+                    keys.select(
+                        self.pages.bucket_expr("url").alias("_bucket"),
+                        F.col("_events"),
+                        F.col("url"),
+                    )
+                    .groupBy("_bucket")
+                    .agg(
+                        F.count(F.lit(1)).alias("cnt"),
+                        F.sum(F.col("_events")).alias("ev"),
+                        F.slice(
+                            F.sort_array(
+                                F.collect_list(
+                                    F.when(
+                                        F.col("_events") > hot_floor,
+                                        F.struct("_events", "url"),
+                                    )
+                                ),
+                                asc=False,
+                            ),
+                            1,
+                            8,
+                        ).alias("top"),
+                    )
+                    .collect()
+                )
+                bucket_counts = {r["_bucket"]: r["cnt"] for r in plan_rows}
+                n_valid = int(sum(r["ev"] for r in plan_rows))
+                hot_candidates = [
+                    (int(t["_events"]), t["url"])
+                    for r in plan_rows
+                    for t in (r["top"] or [])
+                ]
+                t_o = time.monotonic()
+                phases["plan_collect"] = int((t_o - t_p) * 1000)
+                if not exact_keys:
+                    # total input rows observed on the planning scan
+                    # itself.  Observation.get asserts when the optimizer
+                    # collapsed the scan to an empty LocalRelation (e.g. a
+                    # .limit(0) source) and the observe node never ran —
+                    # fall back to a direct count, trivial on such plans.
+                    try:
+                        n_changes = int(obs.get["n_total"])
+                    except Exception:
+                        n_changes = changes.count()
             phases["plan"] = int((time.monotonic() - t_p) * 1000)
 
             # quarantine route (idempotent via its own batch watermark).
@@ -411,7 +528,17 @@ class CdcApplier:
                             "lsn", "op", "url", "warc_ts", "html", "reason", "batch_id"
                         )
                     )
-                    q_snap = self.quarantine.append(q_df, {q_mark: str(batch_id)})
+                    def q_guard(fresh) -> None:
+                        if int(fresh.properties.get(q_mark, "-1")) >= batch_id:
+                            raise BatchRaced(batch_id)
+
+                    try:
+                        q_snap = self.quarantine.append(
+                            q_df, {q_mark: str(batch_id)}, guard=q_guard
+                        )
+                    except BatchRaced:
+                        # concurrent applier quarantined this batch
+                        return
                     if cached_batch is None:
                         q_result["n_quar"] = sum(
                             fi["rows"] for fs in q_snap.buckets.values() for fi in fs
@@ -445,10 +572,7 @@ class CdcApplier:
                 hot_list = []
                 if threshold:
                     hot_list = [
-                        t["url"]
-                        for r in plan_rows
-                        for t in (r["top"] or [])
-                        if t["_events"] > threshold
+                        url for ev, url in hot_candidates if ev > threshold
                     ]
                 n_hot = len(hot_list)
                 if not hot_list:
@@ -514,6 +638,13 @@ class CdcApplier:
             phases["quarantine"] = q_result.get("ms", 0)
             if exact_keys:
                 n_changes = n_valid + n_quar
+            elif sampled:
+                # exact valid count observed on the merge job itself
+                # (same empty-plan guard as the scan-mode observation)
+                try:
+                    n_changes = int(obs_v.get["n_valid"]) + n_quar
+                except Exception:
+                    n_changes = n_quar
             result.rows_in = n_changes
             result.rows_quarantined = int(n_quar)
             result.hot_keys_detected = n_hot
@@ -528,9 +659,36 @@ class CdcApplier:
             result.phase_ms = phases
             return result
         finally:
-            keys.unpersist()
+            if keys is not None:
+                keys.unpersist()
             if cached_batch is not None:
                 cached_batch.unpersist()
+
+    def _sampled_planning(self) -> bool:
+        """Whether this batch plans from a sample (see ``planning``)."""
+        shape_ok = (
+            self.merge_mode == "mor"
+            and self.dedup_mode == "window"
+            and self.materialize == "keys"
+        )
+        if self.planning == "sample":
+            if not shape_ok:
+                raise ValueError(
+                    "planning='sample' requires merge_mode='mor', "
+                    "dedup_mode='window', materialize='keys' (cow must "
+                    "declare touched buckets up front; rank_join/batch "
+                    "reuse the exact per-key aggregate)"
+                )
+            return True
+        return self.planning == "auto" and shape_ok
+
+    def _plan_fraction(self) -> float:
+        """Sample fraction: raised for pinned small thresholds so a hot
+        key still yields >= ~24 expected sample events."""
+        frac = self.plan_sample
+        if self.hot_key_threshold:
+            frac = max(frac, min(1.0, 24.0 / self.hot_key_threshold))
+        return frac
 
     def _resolve_hot_threshold(self, n_changes: int) -> int | None:
         """Auto hot-key threshold: on by default in window mode.
@@ -736,61 +894,64 @@ class CdcApplier:
         w_obs = Observation()
         staged = staged.observe(w_obs, F.count(F.lit(1)).alias("n_winners"))
         src = staged.withColumn("_bucket", self.pages.bucket_expr("url"))
-        persisted = None
-        try:
-            t_s = time.monotonic()
-            if bucket_counts is None:
-                persisted = src = src.persist()
-                bucket_counts = {
-                    r["_bucket"]: r["cnt"]
-                    for r in src.groupBy("_bucket")
-                    .agg(F.count("*").alias("cnt"))
-                    .collect()
-                }
-            phases["stage_winners"] = int((time.monotonic() - t_s) * 1000)
+        # ``bucket_counts=None`` (sampled planning): the touched set
+        # and exact per-bucket counts are derived from the COMMITTED
+        # manifest diff below — deltas remove nothing, so the write
+        # needs no up-front bucket declaration and the batch never
+        # pays a counting pass.  With counts (scan planning), the
+        # declared set doubles as a containment check.
+        if bucket_counts is None:
+            touched = None
+            n_planned = -1  # unknown at plan time (exact -> metrics)
+        else:
             touched = sorted(bucket_counts)
             n_planned = int(sum(bucket_counts.values()))
+        phases.setdefault("stage_winners", 0)
 
-            delta = self._delta_frame(src, snap)
-            props = self._batch_props(batch_id, lsn_range, n_planned)
-            t_w = time.monotonic()
-            new_snap = self.pages.append_deltas(
-                touched, delta, props, base=snap, clustered=aligned, phases=phases
+        delta = self._delta_frame(src, snap)
+        props = self._batch_props(batch_id, lsn_range, n_planned)
+        t_w = time.monotonic()
+        new_snap = self.pages.append_deltas(
+            touched, delta, props, base=snap, clustered=aligned,
+            phases=phases, guard=self._watermark_guard(batch_id),
+        )
+        phases["merge_write"] = int((time.monotonic() - t_w) * 1000)
+        try:
+            n_winners = int(w_obs.get["n_winners"])
+        except Exception:
+            n_winners = 0
+        if touched is None:
+            touched = sorted(
+                int(b)
+                for b in new_snap.deltas
+                if len(new_snap.deltas[b]) != len(snap.deltas.get(b, []))
             )
-            phases["merge_write"] = int((time.monotonic() - t_w) * 1000)
-            try:
-                n_winners = int(w_obs.get["n_winners"])
-            except Exception:
-                n_winners = 0
-            # per-bucket lineage: rows in THIS commit's delta files
-            # (committed manifest diff — no extra Spark job)
-            per_bucket = [
-                (
-                    int(b),
-                    sum(fi["rows"] for fi in new_snap.deltas.get(str(b), []))
-                    - sum(fi["rows"] for fi in snap.deltas.get(str(b), [])),
-                )
+        # per-bucket lineage: rows in THIS commit's delta files
+        # (committed manifest diff — no extra Spark job)
+        per_bucket = [
+            (
+                int(b),
+                sum(fi["rows"] for fi in new_snap.deltas.get(str(b), []))
+                - sum(fi["rows"] for fi in snap.deltas.get(str(b), [])),
+            )
+            for b in touched
+        ]
+        if self.compact_threshold:
+            over = [
+                int(b)
                 for b in touched
+                if len(new_snap.deltas.get(str(b), [])) > self.compact_threshold
             ]
-            if self.compact_threshold:
-                over = [
-                    int(b)
-                    for b in touched
-                    if len(new_snap.deltas.get(str(b), [])) > self.compact_threshold
-                ]
-                if over:
-                    t_c = time.monotonic()
-                    self.pages.compact_deltas(buckets=over)
-                    phases["compact"] = int((time.monotonic() - t_c) * 1000)
-            return ApplyResult(
-                batch_id=batch_id,
-                rows_winners=n_winners,
-                buckets_touched=len(touched),
-                per_bucket=sorted(per_bucket),
-            )
-        finally:
-            if persisted is not None:
-                persisted.unpersist()
+            if over:
+                t_c = time.monotonic()
+                self.pages.compact_deltas(buckets=over)
+                phases["compact"] = int((time.monotonic() - t_c) * 1000)
+        return ApplyResult(
+            batch_id=batch_id,
+            rows_winners=n_winners,
+            buckets_touched=len(touched),
+            per_bucket=sorted(per_bucket),
+        )
 
     def _merge_cow(
         self,
@@ -959,7 +1120,8 @@ class CdcApplier:
                 phases["catalyst_probe"] = int((time.monotonic() - t_c) * 1000)
             t_w = time.monotonic()
             new_snap = self.pages.overwrite_buckets(
-                touched, merged, props, base=snap, clustered=aligned, phases=phases
+                touched, merged, props, base=snap, clustered=aligned,
+                phases=phases, guard=self._watermark_guard(batch_id),
             )
             phases["merge_write"] = int((time.monotonic() - t_w) * 1000)
             try:

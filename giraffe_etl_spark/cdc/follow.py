@@ -48,7 +48,7 @@ import os
 
 from pyspark.sql import SparkSession
 
-from ..lake.table import Table
+from ..lake.table import SnapshotExpired, Table
 
 # operations whose added files are change rows
 _APPEND_OPS = {"append", "delta-append"}
@@ -136,9 +136,15 @@ class ChangelogFollower:
             return {"commits": 0, "files": 0, "src_snapshot": cur}
         entries: list[dict] = []
         n_commits = 0
-        for snap, added, removed in self.src.commits_between(
-            cur, head.snapshot_id
-        ):
+        try:
+            commits = self.src.commits_between(cur, head.snapshot_id)
+        except SnapshotExpired as e:
+            raise ResyncRequired(
+                f"follower cursor (snapshot {cur}) fell behind the source's "
+                f"retention window ({e}) — the intervening changes are gone; "
+                "re-bootstrap the replica from a full scan"
+            ) from None
+        for snap, added, removed in commits:
             op = snap.summary.get("operation", "unknown")
             if op in _PRESERVING_OPS:
                 continue

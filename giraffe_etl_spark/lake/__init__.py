@@ -1,3 +1,3 @@
-from .table import CommitConflict, Snapshot, Table
+from .table import CommitConflict, Snapshot, SnapshotExpired, Table
 
-__all__ = ["Table", "Snapshot", "CommitConflict"]
+__all__ = ["Table", "Snapshot", "CommitConflict", "SnapshotExpired"]

@@ -58,6 +58,10 @@ _WIDENINGS = {
 }
 
 
+class SnapshotExpired(Exception):
+    """A referenced snapshot's manifest no longer exists (expired)."""
+
+
 class CommitConflict(Exception):
     """Another writer committed since this snapshot was read."""
 
@@ -145,6 +149,29 @@ def _atomic_write(path: str, content: str) -> None:
     os.rename(tmp, path)  # POSIX-atomic pointer flip
 
 
+def _atomic_create(path: str, content: str) -> None:
+    """Atomically create ``path`` — FAILS if it already exists.
+
+    ``os.rename`` silently replaces, so an exists-check followed by a
+    rename is a TOCTOU race: two committers can both pass the check and
+    the second silently overwrites the first's manifest (found by the
+    concurrent-applier test).  ``os.link`` is the POSIX create-if-absent
+    primitive — exactly one of N racing committers wins; the rest get
+    ``FileExistsError`` -> ``CommitConflict``.
+    """
+    tmp = f"{path}.tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        f.write(content)
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, path)
+    except FileExistsError:
+        raise CommitConflict(f"manifest already exists: {path}") from None
+    finally:
+        os.remove(tmp)
+
+
 class Table:
     """A bucketed, snapshot-versioned parquet table.
 
@@ -215,15 +242,28 @@ class Table:
             return Snapshot.from_json(f.read())
 
     def snapshot_at(self, snapshot_id: int) -> Snapshot:
-        with open(os.path.join(self.meta_dir, f"v{snapshot_id}.json")) as f:
-            return Snapshot.from_json(f.read())
+        try:
+            with open(os.path.join(self.meta_dir, f"v{snapshot_id}.json")) as f:
+                return Snapshot.from_json(f.read())
+        except FileNotFoundError:
+            raise SnapshotExpired(
+                f"snapshot {snapshot_id} has no manifest — it was expired "
+                "(expire_snapshots) or never existed; time travel, rollback "
+                "and changelog reads must start at a surviving snapshot"
+            ) from None
 
     def _write_snapshot(self, snap: Snapshot) -> None:
-        """Commit: manifest write, then conflict check, then pointer flip."""
+        """Commit: atomic manifest create, parent check, pointer flip.
+
+        The manifest create (``_atomic_create``) is the linearization
+        point: exactly one committer can own snapshot id N.  The parent
+        check before the pointer flip catches the remaining interleave
+        (our parent was superseded while we linked) — the flip itself
+        only ever moves the pointer to a manifest whose parent IS the
+        current pointee, so history stays a chain.
+        """
         mpath = os.path.join(self.meta_dir, f"v{snap.snapshot_id}.json")
-        if os.path.exists(mpath):
-            raise CommitConflict(f"snapshot {snap.snapshot_id} already exists")
-        _atomic_write(mpath, snap.to_json())
+        _atomic_create(mpath, snap.to_json())
         cur = os.path.join(self.meta_dir, "_current")
         if os.path.exists(cur) and snap.parent_id is not None:
             with open(cur) as f:
@@ -443,19 +483,66 @@ class Table:
             return df
         return df.withColumn("_bucket", self.bucket_expr())
 
+    def _retry_commit(
+        self,
+        compose,
+        base: Snapshot,
+        guard=None,
+        retries: int = 5,
+    ) -> Snapshot:
+        """Optimistic-concurrency loop around a manifest commit.
+
+        ``compose(base)`` merges already-written data files into
+        ``base``'s manifests and calls ``_commit``.  Losing the race to
+        a concurrent writer raises ``CommitConflict``; the loop then
+        re-reads the current snapshot and re-runs ``compose`` against
+        it — a retry re-merges MANIFESTS only, the data files written
+        before the loop are reused, so retry cost is a driver-side JSON
+        rewrite no matter how large the batch was.  ``guard(fresh)``
+        runs before each retry and may raise to abort (the CDC applier
+        uses it to detect that a concurrent applier already committed
+        this batch id — the lost-update check that makes retry safe for
+        at-most-once batch semantics).
+        """
+        attempt = 0
+        while True:
+            try:
+                return compose(base)
+            except CommitConflict:
+                attempt += 1
+                if attempt > retries:
+                    raise
+                # brief backoff: the race winner may have created its
+                # manifest but not yet flipped the pointer — give the
+                # flip time to land so the re-read sees the new base
+                time.sleep(0.01 * attempt)
+                base = self.current_snapshot()
+                if guard is not None:
+                    guard(base)
+
     def append(
         self,
         df: DataFrame,
         properties_update: dict[str, str] | None = None,
         base: Snapshot | None = None,
+        guard=None,
     ) -> Snapshot:
-        """Append-only commit (new files added to their buckets)."""
+        """Append-only commit (new files added to their buckets).
+
+        Appends commute: two writers' file additions merge cleanly, so
+        a lost commit race is retried against the fresh snapshot
+        without touching data (see ``_retry_commit``).
+        """
         base = base or self.current_snapshot()
         new_files = self._write_files(self._with_bucket(df))
-        buckets = {b: list(fs) for b, fs in base.buckets.items()}
-        for b, fs in new_files.items():
-            buckets.setdefault(b, []).extend(fs)
-        return self._commit(base, buckets, properties_update, operation="append")
+
+        def compose(b: Snapshot) -> Snapshot:
+            buckets = {k: list(fs) for k, fs in b.buckets.items()}
+            for k, fs in new_files.items():
+                buckets.setdefault(k, []).extend(fs)
+            return self._commit(b, buckets, properties_update, operation="append")
+
+        return self._retry_commit(compose, base, guard)
 
     def append_local(
         self,
@@ -501,9 +588,13 @@ class Table:
         path = os.path.join(out_dir, "part-0.parquet")
         pq.write_table(table, path)
         entry = {"path": path, "schema_id": base.schema_id, "rows": len(pdf)}
-        buckets = {b: list(fs) for b, fs in base.buckets.items()}
-        buckets.setdefault("0", []).append(entry)
-        return self._commit(base, buckets, properties_update, operation="append")
+
+        def compose(b: Snapshot) -> Snapshot:
+            buckets = {k: list(fs) for k, fs in b.buckets.items()}
+            buckets.setdefault("0", []).append(entry)
+            return self._commit(b, buckets, properties_update, operation="append")
+
+        return self._retry_commit(compose, base)
 
     def overwrite_buckets(
         self,
@@ -514,6 +605,7 @@ class Table:
         clustered: bool = False,
         phases: dict | None = None,
         operation: str = "overwrite",
+        guard=None,
     ) -> Snapshot:
         """Replace the file sets of ``bucket_ids`` with df's data.
 
@@ -522,6 +614,14 @@ class Table:
         clears their delta lists — the caller's df must therefore be
         the fully reconciled content.  Untouched buckets carry over by
         reference.  ``clustered`` — see ``_write_files``.
+
+        Concurrency: a lost commit race is retried only when the
+        concurrent commits left every TOUCHED bucket's content (base
+        and delta file lists) unchanged — the rewritten content is then
+        still the reconciled truth and the manifests re-merge.  If a
+        touched bucket changed, retrying would silently drop the
+        concurrent writer's rows (lost update), so ``CommitConflict``
+        propagates and the caller must recompute from the new snapshot.
         """
         base = base or self.current_snapshot()
         new_files = self._write_files(
@@ -533,24 +633,44 @@ class Table:
                 f"merge wrote rows outside declared buckets: "
                 f"{sorted(set(new_files) - touched)}"
             )
-        buckets = {
-            b: list(fs) for b, fs in base.buckets.items() if b not in touched
-        }
-        for b, fs in new_files.items():
-            buckets[b] = fs
-        deltas = {b: fs for b, fs in base.deltas.items() if b not in touched}
-        return self._commit(
-            base, buckets, properties_update, deltas=deltas, operation=operation
-        )
+        orig = base
+
+        def compose(b: Snapshot) -> Snapshot:
+            buckets = {
+                k: list(fs) for k, fs in b.buckets.items() if k not in touched
+            }
+            for k, fs in new_files.items():
+                buckets[k] = fs
+            deltas = {k: fs for k, fs in b.deltas.items() if k not in touched}
+            return self._commit(
+                b, buckets, properties_update, deltas=deltas, operation=operation
+            )
+
+        def retry_guard(fresh: Snapshot) -> None:
+            if guard is not None:
+                guard(fresh)
+            for t in touched:
+                if (
+                    fresh.buckets.get(t) != orig.buckets.get(t)
+                    or fresh.deltas.get(t) != orig.deltas.get(t)
+                ):
+                    raise CommitConflict(
+                        f"bucket {t} changed during a copy-on-write "
+                        "rewrite — recompute the reconciled content "
+                        "from the current snapshot and re-run"
+                    )
+
+        return self._retry_commit(compose, base, retry_guard)
 
     def append_deltas(
         self,
-        bucket_ids: list[int],
+        bucket_ids: list[int] | None,
         df: DataFrame,
         properties_update: dict[str, str] | None = None,
         base: Snapshot | None = None,
         clustered: bool = False,
         phases: dict | None = None,
+        guard=None,
     ) -> Snapshot:
         """Merge-on-read commit: add df's rows as DELTA files.
 
@@ -562,6 +682,14 @@ class Table:
         ``compact_deltas`` folds deltas into the base when a bucket
         accumulates too many.  Requires merge.key/merge.order table
         properties (fails fast otherwise, before any data is written).
+
+        Concurrency: delta-appends commute — reconciliation is per key
+        by ``merge.order``, which is a property of the ROWS, not of the
+        commit order — so a lost commit race safely retries against the
+        fresh snapshot, re-merging manifests only (the delta files are
+        reused).  ``guard`` lets the caller abort the retry (the CDC
+        applier checks its batch watermark on the fresh snapshot so a
+        concurrently-committed identical batch is not applied twice).
         """
         base = base or self.current_snapshot()
         if not (
@@ -571,23 +699,34 @@ class Table:
         new_files = self._write_files(
             self._with_bucket(df), clustered=clustered, phases=phases
         )
-        touched = {str(b) for b in bucket_ids}
-        if not set(new_files) <= touched:
-            raise ValueError(
-                f"merge wrote rows outside declared buckets: "
-                f"{sorted(set(new_files) - touched)}"
+        if bucket_ids is not None:
+            # declared-bucket containment check; pass None to derive the
+            # touched set from the write itself (valid for deltas — they
+            # remove nothing, so there is no stale-content risk)
+            touched = {str(b) for b in bucket_ids}
+            if not set(new_files) <= touched:
+                raise ValueError(
+                    f"merge wrote rows outside declared buckets: "
+                    f"{sorted(set(new_files) - touched)}"
+                )
+
+        def compose(b: Snapshot) -> Snapshot:
+            deltas = {k: list(fs) for k, fs in b.deltas.items()}
+            for k, fs in new_files.items():
+                deltas.setdefault(k, []).extend(fs)
+            return self._commit(
+                b, b.buckets, properties_update, deltas=deltas,
+                operation="delta-append",
             )
-        deltas = {b: list(fs) for b, fs in base.deltas.items()}
-        for b, fs in new_files.items():
-            deltas.setdefault(b, []).extend(fs)
-        return self._commit(
-            base, base.buckets, properties_update, deltas=deltas,
-            operation="delta-append",
-        )
+
+        return self._retry_commit(compose, base, guard)
 
     def set_properties(self, updates: dict[str, str]) -> Snapshot:
         base = self.current_snapshot()
-        return self._commit(base, base.buckets, updates, operation="metadata")
+        return self._retry_commit(
+            lambda b: self._commit(b, b.buckets, updates, operation="metadata"),
+            base,
+        )
 
     # ---- changelog emission (CDC out) -------------------------------------
 
@@ -843,16 +982,19 @@ class Table:
     # ---- schema evolution ----------------------------------------------------
 
     def _evolve(self, mutate) -> Snapshot:
-        base = self.current_snapshot()
-        fields = [dict(f) for f in base.schema_fields]
-        fields = mutate(fields)
-        new_sid = max(int(s) for s in base.schemas) + 1
-        schemas = dict(base.schemas)
-        schemas[str(new_sid)] = fields
-        return self._commit(
-            base, base.buckets, None, schema_id=new_sid, schemas=schemas,
-            operation="metadata",
-        )
+        def compose(b: Snapshot) -> Snapshot:
+            # re-derive from the (possibly fresh) base so a retry sees
+            # any concurrently-added columns / schema versions
+            fields = mutate([dict(f) for f in b.schema_fields])
+            new_sid = max(int(s) for s in b.schemas) + 1
+            schemas = dict(b.schemas)
+            schemas[str(new_sid)] = fields
+            return self._commit(
+                b, b.buckets, None, schema_id=new_sid, schemas=schemas,
+                operation="metadata",
+            )
+
+        return self._retry_commit(compose, self.current_snapshot())
 
     def add_column(self, name: str, spark_type: str) -> Snapshot:
         def mutate(fields):
@@ -939,21 +1081,22 @@ class Table:
         self.overwrite_buckets(targets, df, base=snap, operation="compact")
         return sorted(targets)
 
-    def expire_orphan_files(self) -> int:
-        """Delete data files not referenced by the current snapshot.
+    def _sweep_unreferenced(self, live: set[str], min_age_s: float = 0.0) -> int:
+        """Delete parquet files under data_dir not in ``live``.
 
-        (Time-travel across older snapshots is sacrificed; run only when
-        history is no longer needed — mirrors Iceberg's
-        expire_snapshots + remove_orphan_files.)
+        ``min_age_s`` spares recently-written files: an in-flight
+        writer's output exists on disk BEFORE its commit references it,
+        so concurrent maintenance must not reap young files (Iceberg's
+        remove_orphan_files draws the same older-than line).
         """
-        snap = self.current_snapshot()
-        live = {fi["path"] for fs in snap.buckets.values() for fi in fs}
-        live |= {fi["path"] for fs in snap.deltas.values() for fi in fs}
         removed = 0
+        now = time.time()
         for root, _dirs, files in os.walk(self.data_dir):
             for fn in files:
                 p = os.path.join(root, fn)
                 if p not in live and fn.endswith(".parquet"):
+                    if min_age_s and now - os.path.getmtime(p) < min_age_s:
+                        continue
                     os.remove(p)
                     removed += 1
         # drop now-empty dirs
@@ -961,3 +1104,64 @@ class Table:
             if root != self.data_dir and not dirs and not files:
                 shutil.rmtree(root, ignore_errors=True)
         return removed
+
+    @staticmethod
+    def _manifest_paths(snap: Snapshot) -> set[str]:
+        return {
+            fi["path"]
+            for m in (snap.buckets, snap.deltas)
+            for fs in m.values()
+            for fi in fs
+        }
+
+    def expire_orphan_files(self) -> int:
+        """Delete data files not referenced by the current snapshot.
+
+        (Time-travel across older snapshots is sacrificed; run only when
+        history is no longer needed — mirrors Iceberg's
+        expire_snapshots + remove_orphan_files.)
+        """
+        return self._sweep_unreferenced(
+            self._manifest_paths(self.current_snapshot())
+        )
+
+    def expire_snapshots(
+        self, keep_last: int = 10, orphan_min_age_s: float = 3600.0
+    ) -> dict:
+        """Bound metadata + storage growth: drop history before a cutoff.
+
+        Iceberg ``expire_snapshots`` analog.  A long-running CDC stream
+        commits per batch — at 10^10 events that is metadata growing
+        without bound and every superseded row version pinned on disk
+        by some historical snapshot.  This keeps the ``keep_last`` most
+        recent snapshots (the current one always survives), deletes the
+        older manifests, and sweeps data files referenced by NO
+        surviving manifest — so time travel, ``rollback`` and
+        ``read_changes`` keep working across the surviving window and
+        raise ``SnapshotExpired`` beyond it (a ``ChangelogFollower``
+        whose cursor fell behind the window gets ``ResyncRequired``).
+
+        Also reaps files from writes that never committed (a crashed
+        writer's output is referenced by no manifest), which is what
+        makes the commit-retry path safe to abort at any point.
+        """
+        cur = self.current_snapshot()
+        cutoff = cur.snapshot_id - max(int(keep_last), 1) + 1
+        expired = []
+        live: set[str] = set()
+        for fn in os.listdir(self.meta_dir):
+            if not (fn.startswith("v") and fn.endswith(".json")):
+                continue
+            sid = int(fn[1:-5])
+            if sid < cutoff:
+                expired.append(fn)
+            else:
+                live |= self._manifest_paths(self.snapshot_at(sid))
+        for fn in expired:
+            os.remove(os.path.join(self.meta_dir, fn))
+        files_removed = self._sweep_unreferenced(live, orphan_min_age_s)
+        return {
+            "snapshots_expired": len(expired),
+            "files_removed": files_removed,
+            "oldest_surviving": min(cutoff, cur.snapshot_id),
+        }

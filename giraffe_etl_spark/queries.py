@@ -538,6 +538,69 @@ def cdc_changelog_read(spark, sf_dir):
     ).orderBy("url", "lsn")
 
 
+def cdc_follow_replica(spark, sf_dir):
+    """Changelog follower end-to-end: a replica kept in sync by CDC out.
+
+    Replays the events-derived change stream into a source table (the
+    same 3 interleaved batches as ``cdc_replay_synthetic``), while a
+    ``ChangelogFollower`` tails the source's commit log into a replica
+    table with a DIFFERENT bucket layout (4 vs 8), syncing after every
+    source batch — each sync reads ONLY that commit's delta files
+    (O(changes) I/O, base files never re-read).  Returns the REPLICA's
+    reconciled live rows; the DuckDB oracle is the same final-state
+    recomputation the source replay is checked against, so the hash
+    match proves the follower is content-exact, not just row-complete.
+    """
+    import tempfile
+
+    from .cdc import CdcApplier, ChangelogFollower, read_pages
+
+    root = tempfile.mkdtemp(prefix="cdc_follow_src_")
+    replica = tempfile.mkdtemp(prefix="cdc_follow_dst_")
+    changes = cdc_changes_from_events(spark, sf_dir)
+    applier = CdcApplier(spark, root, n_buckets=8)
+    follower = ChangelogFollower(
+        spark, applier.pages, replica + "/replica", n_buckets=4
+    )
+    for b in range(3):
+        applier.apply_batch(changes.filter(F.col("lsn") % 3 == b), batch_id=b)
+        follower.sync()
+    return (
+        read_pages(follower.dst)
+        .select("url", "warc_ts", "text", "lang")
+        .orderBy("url")
+    )
+
+
+def cdc_rescale_replay(spark, sf_dir):
+    """Online bucket rescale mid-stream: content-exact, layout adopted.
+
+    Applies batch 0 at 4 buckets, grows the table to 16 with the
+    shuffle-free split rewrite (``rescale_buckets``: every old-bucket
+    file fans locally into its k split-image buckets — zero exchanges),
+    then applies batches 1-2, which pick the new count up from the
+    table.  The final state must be byte-identical to an unrescaled
+    replay, so the oracle is the same final-state SQL as
+    ``cdc_replay_synthetic``.
+    """
+    import tempfile
+
+    from .cdc import CdcApplier, read_pages
+
+    root = tempfile.mkdtemp(prefix="cdc_rescale_")
+    changes = cdc_changes_from_events(spark, sf_dir)
+    applier = CdcApplier(spark, root, n_buckets=4)
+    applier.apply_batch(changes.filter(F.col("lsn") % 3 == 0), batch_id=0)
+    applier.pages.rescale_buckets(16)
+    for b in (1, 2):
+        applier.apply_batch(changes.filter(F.col("lsn") % 3 == b), batch_id=b)
+    return (
+        read_pages(applier.pages)
+        .select("url", "warc_ts", "text", "lang")
+        .orderBy("url")
+    )
+
+
 def _planted_neardup_corpus(d: DataFrame) -> DataFrame:
     """Documents corpus with STRUCTURALLY planted near-dup clusters.
 
@@ -985,6 +1048,8 @@ QUERIES = {
     "ann_topk_cosine": ann_topk_cosine,
     "cdc_replay_synthetic": cdc_replay_synthetic,
     "cdc_changelog_read": cdc_changelog_read,
+    "cdc_follow_replica": cdc_follow_replica,
+    "cdc_rescale_replay": cdc_rescale_replay,
     "minhash_dedup_documents": minhash_dedup_documents,
     "simhash_documents": simhash_documents,
     "embedding_neardup": embedding_neardup,

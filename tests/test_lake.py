@@ -82,11 +82,16 @@ def test_overwrite_buckets_swaps_only_touched(spark, tmp_root):
 
 
 def test_commit_conflict_detection(spark, tmp_root):
+    """The commit PRIMITIVE detects a stale parent; the public append
+    RESOLVES it by retrying the manifest merge (tests/test_concurrency
+    covers the genuinely concurrent cases)."""
     t = make_table(spark, tmp_root)
     base = t.current_snapshot()
     t.append(kv_df(spark, [("a", 1)]), base=base)
     with pytest.raises(CommitConflict):
-        t.append(kv_df(spark, [("b", 2)]), base=base)
+        t._commit(base, base.buckets, None)  # stale parent, no retry
+    t.append(kv_df(spark, [("b", 2)]), base=base)  # retries + merges
+    assert {(r.k, r.v) for r in t.read().collect()} == {("a", 1), ("b", 2)}
 
 
 def test_properties_carried_and_updated(spark, tmp_root):
