@@ -277,6 +277,11 @@ def oracle_sql() -> dict[str, str]:
         "lang_tag_documents": _lang_tag_docs_sql(),
         "simhash_documents": _simhash_md5_sql(),
         "cdc_replay_synthetic": _cdc_replay_sql(),
+        # the follower replica and the rescaled table must be
+        # content-identical to the plain replay's final state — the
+        # SAME oracle proves content-preservation, not just row counts
+        "cdc_follow_replica": _cdc_replay_sql(),
+        "cdc_rescale_replay": _cdc_replay_sql(),
         "minhash_dedup_documents": """
             SELECT doc_id FROM documents
             UNION ALL
