@@ -39,6 +39,7 @@ that giraffe-etl used as its persistent state store + resume cache
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import shutil
@@ -101,7 +102,15 @@ class Snapshot:
     @staticmethod
     def from_json(s: str) -> "Snapshot":
         d = json.loads(s)
+        d.pop("format", None)
         return Snapshot(**d)
+
+
+# manifest-shard cache: shards are content-addressed and therefore
+# immutable, so a path can be cached forever; bounded FIFO so a
+# long-lived session over many tables stays flat
+_MANIFEST_CACHE: dict[str, list] = {}
+_MANIFEST_CACHE_CAP = 4096
 
 
 def _footer_stats(md, stats_cols: list[str]) -> dict[str, list]:
@@ -235,16 +244,74 @@ class Table:
 
     # ---- snapshot plumbing ----------------------------------------------
 
+    @property
+    def manifest_dir(self) -> str:
+        return os.path.join(self.meta_dir, "manifests")
+
+    def _load_manifest(self, ref: str) -> list[dict]:
+        """Resolve a manifest-shard ref to its file-entry list (cached).
+
+        Shards are content-addressed (the ref embeds the content hash),
+        hence immutable — cache hits are safe forever.  Returns a fresh
+        outer list (entry dicts are shared; they are treated as
+        immutable everywhere).
+        """
+        path = os.path.join(self.manifest_dir, ref)
+        ent = _MANIFEST_CACHE.get(path)
+        if ent is None:
+            with open(path) as f:
+                ent = json.loads(f.read())
+            if len(_MANIFEST_CACHE) >= _MANIFEST_CACHE_CAP:
+                _MANIFEST_CACHE.pop(next(iter(_MANIFEST_CACHE)))
+            _MANIFEST_CACHE[path] = ent
+        return list(ent)
+
+    def _store_manifest(self, entries: list[dict]) -> str:
+        """Write one bucket's file list as a content-addressed shard.
+
+        Identical content -> identical ref -> no write: a commit that
+        leaves a bucket untouched reuses the parent snapshot's shard,
+        so commit METADATA I/O is O(touched buckets), mirroring what
+        merge-on-read does for data I/O (Iceberg's manifest-list reuse,
+        same idea).  Two writers racing the same content collide on the
+        same name — by construction the same bytes, so the loser's
+        ``CommitConflict`` is ignored.
+        """
+        content = json.dumps(entries, sort_keys=True)
+        ref = "m-" + hashlib.sha256(content.encode()).hexdigest()[:16] + ".json"
+        path = os.path.join(self.manifest_dir, ref)
+        if not os.path.exists(path):
+            os.makedirs(self.manifest_dir, exist_ok=True)
+            try:
+                _atomic_create(path, content)
+            except CommitConflict:
+                pass  # content-addressed: same name == same content
+            _MANIFEST_CACHE[path] = entries
+        return ref
+
+    def _read_snapshot_file(self, path: str) -> Snapshot:
+        with open(path) as f:
+            d = json.loads(f.read())
+        d.pop("format", None)
+        for key in ("buckets", "deltas"):
+            m = d.get(key) or {}
+            # v2 stores shard refs (str); v1 stored the lists inline
+            d[key] = {
+                b: self._load_manifest(v) if isinstance(v, str) else v
+                for b, v in m.items()
+            }
+        return Snapshot(**d)
+
     def current_snapshot(self) -> Snapshot:
         with open(os.path.join(self.meta_dir, "_current")) as f:
             n = int(f.read().strip())
-        with open(os.path.join(self.meta_dir, f"v{n}.json")) as f:
-            return Snapshot.from_json(f.read())
+        return self._read_snapshot_file(os.path.join(self.meta_dir, f"v{n}.json"))
 
     def snapshot_at(self, snapshot_id: int) -> Snapshot:
         try:
-            with open(os.path.join(self.meta_dir, f"v{snapshot_id}.json")) as f:
-                return Snapshot.from_json(f.read())
+            return self._read_snapshot_file(
+                os.path.join(self.meta_dir, f"v{snapshot_id}.json")
+            )
         except FileNotFoundError:
             raise SnapshotExpired(
                 f"snapshot {snapshot_id} has no manifest — it was expired "
@@ -261,9 +328,29 @@ class Table:
         (our parent was superseded while we linked) — the flip itself
         only ever moves the pointer to a manifest whose parent IS the
         current pointee, so history stays a chain.
+
+        File lists are stored as per-bucket content-addressed shards
+        (``_store_manifest``): the snapshot JSON itself is O(buckets)
+        regardless of file count, and an untouched bucket's shard is
+        shared with the parent snapshot by reference.
         """
+        doc = {
+            "format": 2,
+            "snapshot_id": snap.snapshot_id,
+            "parent_id": snap.parent_id,
+            "schema_id": snap.schema_id,
+            "schemas": snap.schemas,
+            "buckets": {
+                b: self._store_manifest(fs) for b, fs in snap.buckets.items()
+            },
+            "deltas": {
+                b: self._store_manifest(fs) for b, fs in snap.deltas.items()
+            },
+            "properties": snap.properties,
+            "summary": snap.summary,
+        }
         mpath = os.path.join(self.meta_dir, f"v{snap.snapshot_id}.json")
-        _atomic_create(mpath, snap.to_json())
+        _atomic_create(mpath, json.dumps(doc, sort_keys=True))
         cur = os.path.join(self.meta_dir, "_current")
         if os.path.exists(cur) and snap.parent_id is not None:
             with open(cur) as f:
@@ -1149,19 +1236,48 @@ class Table:
         cutoff = cur.snapshot_id - max(int(keep_last), 1) + 1
         expired = []
         live: set[str] = set()
+        live_refs: set[str] = set()
         for fn in os.listdir(self.meta_dir):
             if not (fn.startswith("v") and fn.endswith(".json")):
                 continue
             sid = int(fn[1:-5])
             if sid < cutoff:
                 expired.append(fn)
-            else:
-                live |= self._manifest_paths(self.snapshot_at(sid))
+                continue
+            with open(os.path.join(self.meta_dir, fn)) as f:
+                raw = json.loads(f.read())
+            for key in ("buckets", "deltas"):
+                for v in (raw.get(key) or {}).values():
+                    if isinstance(v, str):  # v2: shard ref
+                        live_refs.add(v)
+                        entries = self._load_manifest(v)
+                    else:  # v1: inline list
+                        entries = v
+                    live |= {fi["path"] for fi in entries}
         for fn in expired:
             os.remove(os.path.join(self.meta_dir, fn))
         files_removed = self._sweep_unreferenced(live, orphan_min_age_s)
+        # manifest shards referenced by no surviving snapshot (same
+        # min-age guard: an in-flight commit's shards exist before the
+        # snapshot JSON that references them)
+        shards_removed = 0
+        if os.path.isdir(self.manifest_dir):
+            now = time.time()
+            for fn in os.listdir(self.manifest_dir):
+                p = os.path.join(self.manifest_dir, fn)
+                if fn in live_refs or not fn.endswith(".json"):
+                    continue
+                if (
+                    orphan_min_age_s
+                    and now - os.path.getmtime(p) < orphan_min_age_s
+                ):
+                    continue
+                os.remove(p)
+                _MANIFEST_CACHE.pop(p, None)
+                shards_removed += 1
         return {
             "snapshots_expired": len(expired),
             "files_removed": files_removed,
+            "manifest_shards_removed": shards_removed,
             "oldest_surviving": min(cutoff, cur.snapshot_id),
         }

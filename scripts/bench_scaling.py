@@ -147,6 +147,7 @@ def main() -> None:
         # persisted for bench.py to embed in its per-round JSON record
         with open(os.path.join(REPO, "SCALING.json"), "w") as f:
             json.dump(result, f, indent=1)
+            f.write("\n")
         path = os.path.join(REPO, "BASELINE.md")
         with open(path, "a") as f:
             f.write(

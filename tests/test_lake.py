@@ -190,3 +190,71 @@ def test_compact_files_migrates_schema(spark, tmp_root):
             assert fi["schema_id"] == sid, "compaction rewrites to current schema"
     got = t.read().orderBy("k").collect()
     assert [r.w for r in got] == [None] * 5
+
+
+def test_manifest_shards_shared_across_commits(spark, tmp_root):
+    """Commit metadata is O(touched buckets): an untouched bucket's
+    file list is a content-addressed shard REUSED by reference, the
+    metadata analog of merge-on-read's O(batch) data commits."""
+    import json as _json
+
+    t = make_table(spark, tmp_root)
+    t.append(kv_df(spark, [(f"k{i}", i) for i in range(12)]))  # all buckets
+    snap1 = t.current_snapshot()
+    # touch exactly one key -> one bucket
+    t.append(kv_df(spark, [("k0", 99)]))
+    snap2 = t.current_snapshot()
+
+    def refs(sid):
+        with open(os.path.join(t.meta_dir, f"v{sid}.json")) as f:
+            return _json.loads(f.read())["buckets"]
+
+    r1, r2 = refs(snap1.snapshot_id), refs(snap2.snapshot_id)
+    changed = [b for b in r2 if r1.get(b) != r2[b]]
+    unchanged = [b for b in r1 if r1[b] == r2.get(b)]
+    assert len(changed) == 1, (r1, r2)  # only the touched bucket's shard
+    assert unchanged, "untouched buckets must share the parent's shards"
+    # and every ref resolves back to the identical materialized content
+    assert t.snapshot_at(snap1.snapshot_id).buckets == snap1.buckets
+
+
+def test_v1_inline_snapshot_still_loads(spark, tmp_root):
+    """Pre-shard manifests (file lists inline in the snapshot JSON)
+    must keep loading — mixed history after an upgrade."""
+    import json as _json
+
+    t = make_table(spark, tmp_root)
+    t.append(kv_df(spark, [("a", 1)]))
+    snap = t.current_snapshot()
+    # rewrite the head snapshot in v1 inline form
+    doc = {
+        "snapshot_id": snap.snapshot_id,
+        "parent_id": snap.parent_id,
+        "schema_id": snap.schema_id,
+        "schemas": snap.schemas,
+        "buckets": snap.buckets,
+        "properties": snap.properties,
+        "summary": snap.summary,
+        "deltas": snap.deltas,
+    }
+    path = os.path.join(t.meta_dir, f"v{snap.snapshot_id}.json")
+    os.remove(path)
+    with open(path, "w") as f:
+        f.write(_json.dumps(doc, sort_keys=True))
+    t2 = Table.load(spark, t.path)
+    assert t2.current_snapshot().buckets == snap.buckets
+    assert {(r.k, r.v) for r in t2.read().collect()} == {("a", 1)}
+    # and the next commit upgrades to shards transparently
+    t2.append(kv_df(spark, [("b", 2)]))
+    assert {(r.k, r.v) for r in t2.read().collect()} == {("a", 1), ("b", 2)}
+
+
+def test_expire_snapshots_reaps_orphan_shards(spark, tmp_root):
+    t = make_table(spark, tmp_root)
+    for i in range(5):
+        t.append(kv_df(spark, [(f"k{i}", i)]))
+    before = len(os.listdir(t.manifest_dir))
+    rep = t.expire_snapshots(keep_last=1, orphan_min_age_s=0)
+    assert rep["manifest_shards_removed"] > 0
+    assert len(os.listdir(t.manifest_dir)) < before
+    assert t.read().count() == 5  # current content intact
