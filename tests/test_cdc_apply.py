@@ -261,3 +261,33 @@ def test_empty_limit0_batch_keys_mode(spark, tmp_root):
     changes = gen_changes(100, ChangeGenConfig(n_keys=5))
     a.apply_batch(spark_changes(spark, changes), batch_id=1)
     assert_matches_oracle(a, pages, changes)
+
+
+def test_sampled_planning_matches_scan_planning(spark, tmp_root):
+    """planning='sample' and planning='scan' produce identical tables.
+
+    The sampled path derives touched buckets from the commit and hot
+    keys from a Bernoulli sample; neither may change ANY answer — only
+    the number of passes over the batch.  Skew included: the pinned
+    threshold raises the sample fraction so the salted path engages in
+    both modes.
+    """
+    cfg = ChangeGenConfig(n_keys=50, hot_frac=0.5, n_hot_keys=3)
+    changes = gen_changes(800, cfg)
+    pages = gen_pages(50)
+    s = CdcApplier(
+        spark, tmp_root + "/scan", n_buckets=8, planning="scan",
+        hot_key_threshold=20,
+    )
+    p = CdcApplier(
+        spark, tmp_root + "/smp", n_buckets=8, planning="sample",
+        hot_key_threshold=20,
+    )
+    for ap in (s, p):
+        seed_pages(ap.pages, spark.createDataFrame(pages))
+        res = ap.apply_batch(spark_changes(spark, changes), batch_id=0)
+        assert res.rows_in == len(changes)  # exact in both modes
+        assert res.hot_keys_detected >= 3
+        assert res.buckets_touched > 0
+    pd.testing.assert_frame_equal(final_table(s), final_table(p))
+    assert_matches_oracle(p, pages, changes)

@@ -50,6 +50,21 @@ IN_GRAMMAR = [
     "http://example.org:65535/a",          # max valid port kept
     "http://example.org:99999/a",          # port > 65535: urllib rejects -> passthrough
     "http://example.org:99999999999999999999/a",  # port > int64: no overflow-null
+    # fast-path boundary (url_expr._fast_canonical): both sides of
+    # every guard clause, parity-checked against the Python normalizer
+    "http://a.com/x",                      # fast: plain canonical
+    "http://a.com/",                       # fast: root path
+    "http://a.com/a//b/",                  # fast: empty segments preserved
+    "http://a.com/x.index.html",           # fast: '.index.html' is not '/index.html'
+    "http://a.com/windex.php",             # fast: suffix-only near-miss
+    "http://wwwx.com/a",                   # fast: 'www' not a label prefix
+    "http://a.com/a%20b",                  # fast: percent bytes untouched
+    "http://a.com/index.html",             # slow: index stripped
+    "http://a.com/INDEX.HTML",             # slow via uppercase; stripped anyway
+    "http://a.com/x/default.htm",          # slow: index stripped
+    "http://www.a.com/x",                  # slow: www. stripped
+    "http://a.com./x",                     # fast: trailing host dot kept
+    "http://a.com/x:y",                    # slow: ':' in path (conservative)
 ]
 
 OUT_OF_GRAMMAR = [
@@ -113,3 +128,46 @@ def test_rank_join_dedup_matches_agg(spark):
         "http://b/": (3, "U"),
         "http://c/": (5, "D"),
     }
+
+
+def _fast_canonical_py(u: str) -> bool:
+    """Python mirror of url_expr._fast_canonical (test-only).
+
+    Kept 1:1 with the Column expression; the corpus test above pins
+    expr==python across the guard boundary, and this mirror lets the
+    fixed-point property run thousands of examples without a Spark job
+    per example.
+    """
+    import re as _re
+
+    if not _re.match(r"^https?://(?!www\.)[a-z0-9.-]+/[^?#A-Z:\s]*\Z", u):
+        return False
+    if "/./" in u or "/../" in u or u.endswith(("/.", "/..")):
+        return False
+    return not u.endswith(
+        ("/index.html", "/index.htm", "/index.php", "/default.htm", "/default.html")
+    )
+
+
+def test_fast_path_is_fixed_point():
+    """Any URL passing the fast-canonical guard must be a fixed point of
+    the normalizer — otherwise the fast path would change an answer."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from giraffe_etl_spark.functions.url import normalize_url_simple
+
+    host = st.text(alphabet="abz09.-w", min_size=1, max_size=12)
+    seg = st.text(
+        alphabet="abz09._-%~wIndexhtmlphpABC?#: /\\\n\t", min_size=0, max_size=12
+    )
+    path = st.lists(seg, min_size=0, max_size=4).map("/".join)
+
+    @given(host=host, path=path)
+    @settings(max_examples=2000, deadline=None)
+    def check(host: str, path: str):
+        u = f"http://{host}/{path}"
+        if _fast_canonical_py(u):
+            assert normalize_url_simple(u) == u, u
+
+    check()
