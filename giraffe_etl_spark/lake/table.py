@@ -374,6 +374,45 @@ class Table:
         key = col or self.bucket_key()
         return F.pmod(F.hash(F.col(key)), F.lit(self.n_buckets())).cast("int")
 
+    def bucket_of(self, *keys) -> list[int]:
+        """Bucket ids for literal key values.
+
+        Evaluates the EXACT partition transform (``pmod(hash(k), N)``)
+        as a literal projection — one driver-local micro-job, no data
+        scan — so lookup code can never drift from the write-side
+        murmur3 seed/variant the way a reimplementation could.
+        """
+        n = self.n_buckets()
+        row = (
+            self.spark.range(1)
+            .select(
+                *[
+                    F.pmod(F.hash(F.lit(k)), F.lit(n)).cast("int").alias(f"b{i}")
+                    for i, k in enumerate(keys)
+                ]
+            )
+            .first()
+        )
+        return [row[i] for i in range(len(keys))]
+
+    def read_keys(self, values: list, snap: Snapshot | None = None) -> DataFrame:
+        """Point lookup: rows whose bucket key is in ``values``.
+
+        The bucket transform prunes the scan to the (at most
+        ``len(values)``) buckets the keys hash to — on a 1024-bucket
+        100 TB table a single-key lookup reads one bucket's files, not
+        the table — then filters exactly (Iceberg's bucket-transform
+        predicate pushdown, expressed as manifest-level pruning).
+        Reads reconcile as usual, so the result is the live winner row
+        per key.
+        """
+        if not values:
+            raise ValueError("read_keys requires at least one key value")
+        bucket_ids = sorted(set(self.bucket_of(*values)))
+        return self.read(snap=snap, buckets=bucket_ids).filter(
+            F.col(self.bucket_key()).isin(list(values))
+        )
+
     # ---- read path --------------------------------------------------------
 
     def _current_struct(self, snap: Snapshot) -> StructType:

@@ -106,3 +106,62 @@ def test_schema_evolution_propagates(spark, tmp_root, src_applier):
     dst_cols = {c for c in f.dst.read().columns}
     assert "fetch_status" in dst_cols
     assert _rows(f.dst) == _rows(src_applier.pages)
+
+
+def test_stream_to_applier_to_follower_end_to_end(spark, tmp_root):
+    """The full pipe: file-source change stream -> exactly-once apply ->
+    changelog-follower replica, all three layers agreeing with the
+    pandas oracle at the end."""
+    from giraffe_etl_spark.cdc.oracle import oracle_apply
+    from giraffe_etl_spark.streaming.stream import (
+        read_change_stream,
+        start_apply_stream,
+    )
+
+    cfg = ChangeGenConfig(n_keys=40, late_frac=0.05, dup_frac=0.01,
+                          malformed_frac=0.02)
+    pages = gen_pages(40)
+    changes = gen_changes(300, cfg)
+    src_dir = os.path.join(tmp_root, "binlog")
+    os.makedirs(src_dir)
+    for i in range(3):  # 3 log segments -> 3 micro-batches
+        chunk = changes[i * 100 : (i + 1) * 100]
+        spark.createDataFrame(chunk, CHANGES_DDL).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(src_dir, f"seg{i}"))
+
+    applier = CdcApplier(spark, os.path.join(tmp_root, "tgt"), n_buckets=8)
+    seed_pages(applier.pages, spark.createDataFrame(pages))
+    follower = ChangelogFollower(
+        spark, applier.pages, os.path.join(tmp_root, "replica"), n_buckets=4
+    )
+
+    stream = read_change_stream(spark, src_dir + "/*", max_files_per_trigger=1)
+    q = start_apply_stream(
+        stream, applier, os.path.join(tmp_root, "ckpt"), available_now=True
+    )
+    q.awaitTermination(300)
+    rep = follower.sync()
+    assert rep["commits"] >= 1
+
+    want = (
+        oracle_apply(pages, changes)
+        .sort_values("url")
+        .reset_index(drop=True)[["url", "text", "lang"]]
+    )
+    got_src = (
+        read_pages(applier.pages)
+        .select("url", "text", "lang")
+        .orderBy("url")
+        .toPandas()
+    )
+    got_rep = (
+        read_pages(follower.dst)
+        .select("url", "text", "lang")
+        .orderBy("url")
+        .toPandas()
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got_src, want)
+    pd.testing.assert_frame_equal(got_rep, want)

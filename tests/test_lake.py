@@ -258,3 +258,23 @@ def test_expire_snapshots_reaps_orphan_shards(spark, tmp_root):
     assert rep["manifest_shards_removed"] > 0
     assert len(os.listdir(t.manifest_dir)) < before
     assert t.read().count() == 5  # current content intact
+
+
+def test_read_keys_point_lookup_prunes_to_key_buckets(spark, tmp_root):
+    t = make_table(spark, tmp_root, n_buckets=8)
+    t.append(kv_df(spark, [(f"k{i}", i) for i in range(64)]))
+    # bucket_of agrees with the write-side transform
+    snap = t.current_snapshot()
+    df = t.read(with_bucket_col=True)
+    want_bucket = {r.k: r._bucket for r in df.collect()}
+    assert t.bucket_of("k3", "k17") == [want_bucket["k3"], want_bucket["k17"]]
+    # lookup returns exactly the requested live rows
+    got = {(r.k, r.v) for r in t.read_keys(["k3", "k17"]).collect()}
+    assert got == {("k3", 3), ("k17", 17)}
+    # and scans only the key's bucket: exact input-file set (basenames
+    # collide across buckets — same write task, same part uuid — so
+    # compare full paths via inputFiles)
+    scanned = {f.replace("file://", "").replace("file:", "") for f in
+               t.read_keys(["k3"]).inputFiles()}
+    want_files = {fi["path"] for fi in snap.buckets[str(want_bucket["k3"])]}
+    assert scanned == want_files, (scanned, want_files)
