@@ -230,6 +230,23 @@ def _cdc_replay_sql() -> str:
     """
 
 
+def _cdc_point_lookup_sql() -> str:
+    """Replay final state restricted to the shared point-lookup keys.
+
+    Same recomputation as ``_cdc_replay_sql`` filtered to the key list
+    ``queries.CDC_LOOKUP_USER_IDS`` derives — a hash match proves the
+    bucket-pruned ``read_keys`` path returns exactly what a full scan
+    plus filter would.
+    """
+    from giraffe_etl_spark.queries import cdc_lookup_urls
+
+    keys = ", ".join(f"'{u}'" for u in cdc_lookup_urls())
+    return (
+        f"SELECT * FROM ({_cdc_replay_sql()}) "
+        f"WHERE url IN ({keys}) ORDER BY url"
+    )
+
+
 def _cdc_changelog_sql() -> str:
     """DuckDB oracle for the batch-1 changelog (queries.cdc_changelog_read).
 
@@ -282,6 +299,7 @@ def oracle_sql() -> dict[str, str]:
         # SAME oracle proves content-preservation, not just row counts
         "cdc_follow_replica": _cdc_replay_sql(),
         "cdc_rescale_replay": _cdc_replay_sql(),
+        "cdc_point_lookup": _cdc_point_lookup_sql(),
         "minhash_dedup_documents": """
             SELECT doc_id FROM documents
             UNION ALL

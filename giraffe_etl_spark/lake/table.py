@@ -583,6 +583,7 @@ class Table:
         stats_cols = [
             c for c in cur.properties.get("stats.cols", "").split(",") if c
         ]
+        paths: list[tuple[str, str]] = []  # (bucket, path)
         for entry in os.listdir(out_dir):
             if not entry.startswith("_bucket="):
                 continue
@@ -590,16 +591,31 @@ class Table:
             bdir = os.path.join(out_dir, entry)
             for fn in os.listdir(bdir):
                 if fn.endswith(".parquet"):
-                    p = os.path.join(bdir, fn)
-                    # row count (and opt-in column min/max) from the
-                    # parquet footer: free lineage + pruning metadata,
-                    # no extra Spark job
-                    md = pq.ParquetFile(p).metadata
-                    info = {"path": p, "schema_id": sid, "rows": md.num_rows}
-                    st = _footer_stats(md, stats_cols)
-                    if st:
-                        info["stats"] = st
-                    result.setdefault(b, []).append(info)
+                    paths.append((b, os.path.join(bdir, fn)))
+
+        # row count (and opt-in column min/max) from the parquet
+        # footer: free lineage + pruning metadata, no extra Spark job.
+        # Footer reads are independent metadata I/O — at a 1024-bucket
+        # commit a serial loop is seconds of driver time, so read them
+        # on a small thread pool (I/O-bound; GIL released in pyarrow)
+        def footer(bp: tuple[str, str]) -> tuple[str, dict]:
+            b, p = bp
+            md = pq.ParquetFile(p).metadata
+            info = {"path": p, "schema_id": sid, "rows": md.num_rows}
+            st = _footer_stats(md, stats_cols)
+            if st:
+                info["stats"] = st
+            return b, info
+
+        if len(paths) > 4:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=16) as pool:
+                infos = list(pool.map(footer, paths))
+        else:
+            infos = [footer(bp) for bp in paths]
+        for b, info in infos:
+            result.setdefault(b, []).append(info)
         if phases is not None:
             phases["footers"] = int((time.monotonic() - t_f) * 1000)
         return result

@@ -601,6 +601,47 @@ def cdc_rescale_replay(spark, sf_dir):
     )
 
 
+#: user ids whose derived urls the point-lookup query fetches — shared
+#: with the DuckDB oracle (__spark_entry__) so engine and oracle cannot
+#: drift on the key list
+CDC_LOOKUP_USER_IDS = (1, 7, 13, 4242)
+
+
+def cdc_lookup_urls() -> list[str]:
+    return [
+        f"http://host{u % 20}.example.org/page/{u}" for u in CDC_LOOKUP_USER_IDS
+    ]
+
+
+def cdc_point_lookup(spark, sf_dir):
+    """Bucket-transform point lookup against the replayed table.
+
+    Replays the same 3-batch stream as ``cdc_replay_synthetic``, then
+    fetches a fixed key list via ``Table.read_keys`` — the scan is
+    pruned to the buckets the keys hash to (manifest-level pruning via
+    the exact write-side transform), reconciled, and tombstone-
+    filtered.  The oracle is the replay's final-state SQL restricted
+    to the same keys, so the hash match proves the pruned lookup path
+    returns exactly the full scan's answer.  One key (4242) may not
+    exist at small SFs — both sides must agree on absence too.
+    """
+    import tempfile
+
+    from .cdc import CdcApplier
+
+    root = tempfile.mkdtemp(prefix="cdc_lookup_")
+    changes = cdc_changes_from_events(spark, sf_dir)
+    applier = CdcApplier(spark, root, n_buckets=8)
+    for b in range(3):
+        applier.apply_batch(changes.filter(F.col("lsn") % 3 == b), batch_id=b)
+    df = applier.pages.read_keys(cdc_lookup_urls())
+    return (
+        df.filter(~F.col("_deleted"))
+        .select("url", "warc_ts", "text", "lang")
+        .orderBy("url")
+    )
+
+
 def _planted_neardup_corpus(d: DataFrame) -> DataFrame:
     """Documents corpus with STRUCTURALLY planted near-dup clusters.
 
@@ -1050,6 +1091,7 @@ QUERIES = {
     "cdc_changelog_read": cdc_changelog_read,
     "cdc_follow_replica": cdc_follow_replica,
     "cdc_rescale_replay": cdc_rescale_replay,
+    "cdc_point_lookup": cdc_point_lookup,
     "minhash_dedup_documents": minhash_dedup_documents,
     "simhash_documents": simhash_documents,
     "embedding_neardup": embedding_neardup,
