@@ -187,7 +187,7 @@ def _simhash_md5_sql(bits: int = 32, shingle_n: int = 3) -> str:
     """
 
 
-def _cdc_replay_sql() -> str:
+def _cdc_replay_sql(extra_where: str = "") -> str:
     """DuckDB oracle for the full CDC replay (queries.cdc_replay_synthetic).
 
     Recomputes, from the same ``events`` columns the change stream is
@@ -216,7 +216,7 @@ def _cdc_replay_sql() -> str:
                  [{fillers}][CAST(user_id % 5 AS INTEGER) + 1] AS filler,
                  [{langs}][CAST(user_id % 5 AS INTEGER) + 1] AS lang
           FROM events),
-        valid AS (SELECT * FROM ch WHERE op <> 'X'),
+        valid AS (SELECT * FROM ch WHERE op <> 'X' {extra_where}),
         win AS (
           SELECT *, row_number() OVER (
                      PARTITION BY url ORDER BY warc_ts DESC, lsn DESC) AS rn
@@ -300,6 +300,9 @@ def oracle_sql() -> dict[str, str]:
         "cdc_follow_replica": _cdc_replay_sql(),
         "cdc_rescale_replay": _cdc_replay_sql(),
         "cdc_point_lookup": _cdc_point_lookup_sql(),
+        # rollback to the post-batch-1 snapshot == a replay that never
+        # saw batch 2 (lsn % 3 == 2)
+        "cdc_rollback_replay": _cdc_replay_sql("AND lsn % 3 <> 2"),
         "minhash_dedup_documents": """
             SELECT doc_id FROM documents
             UNION ALL

@@ -601,6 +601,38 @@ def cdc_rescale_replay(spark, sf_dir):
     )
 
 
+def cdc_rollback_replay(spark, sf_dir):
+    """Non-destructive rollback: the table time-travels to a prior state.
+
+    Applies the 3-batch stream, then rolls back to the snapshot
+    committed by batch 1.  The rollback is a NEW commit sharing the
+    old files by reference (history stays linear), so the read must
+    equal a replay that never saw batch 2 — which is exactly what the
+    DuckDB oracle recomputes (the same final-state SQL over only the
+    lsn%3!=2 events).  Also proves the rolled-back offset log: the
+    watermark returns to batch 1, so re-applying batch 2 would be
+    accepted again.
+    """
+    import tempfile
+
+    from .cdc import CdcApplier, read_pages
+
+    root = tempfile.mkdtemp(prefix="cdc_rollback_")
+    changes = cdc_changes_from_events(spark, sf_dir)
+    applier = CdcApplier(spark, root, n_buckets=8)
+    snaps = []
+    for b in range(3):
+        applier.apply_batch(changes.filter(F.col("lsn") % 3 == b), batch_id=b)
+        snaps.append(applier.pages.current_snapshot().snapshot_id)
+    applier.pages.rollback(snaps[1])
+    assert applier.last_committed_batch() == 1  # offset log rolled back too
+    return (
+        read_pages(applier.pages)
+        .select("url", "warc_ts", "text", "lang")
+        .orderBy("url")
+    )
+
+
 #: user ids whose derived urls the point-lookup query fetches — shared
 #: with the DuckDB oracle (__spark_entry__) so engine and oracle cannot
 #: drift on the key list
@@ -1092,6 +1124,7 @@ QUERIES = {
     "cdc_follow_replica": cdc_follow_replica,
     "cdc_rescale_replay": cdc_rescale_replay,
     "cdc_point_lookup": cdc_point_lookup,
+    "cdc_rollback_replay": cdc_rollback_replay,
     "minhash_dedup_documents": minhash_dedup_documents,
     "simhash_documents": simhash_documents,
     "embedding_neardup": embedding_neardup,
