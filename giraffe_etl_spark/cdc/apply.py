@@ -244,8 +244,17 @@ class CdcApplier:
         self.plan_sample = plan_sample
         # prebuilt (reason, canonical-url) expression pair: constructing
         # the normalize tree costs ~1 s of driver-side py4j calls, a
-        # pure serial cost per batch if rebuilt — build once, reuse
+        # pure serial cost per batch if rebuilt — build once, reuse.
+        # A SECOND independent instance exists for the quarantine
+        # route, which plans its query on a concurrent driver thread:
+        # the normalize tree contains higher-order-function lambdas,
+        # and lambda variables carry MUTABLE evaluation state — two
+        # threads optimizing (constant-folding) plans that share the
+        # same lambda instances race and can fold WRONG values into a
+        # plan (observed: alias urls failing to merge under load).
+        # Column trees must never be shared across planning threads.
         self._exprs = batch_exprs(url_mode)
+        self._exprs_quarantine = batch_exprs(url_mode)
         pages_path = os.path.join(root, "pages")
         if Table.exists(pages_path):
             self.pages = Table.load(spark, pages_path)
@@ -520,8 +529,24 @@ class CdcApplier:
                 q_mark = f"stream.{self.stream_id}.last_batch"
                 q_last = int(self.quarantine.properties.get(q_mark, "-1"))
                 if q_last < batch_id and (cached_batch is None or n_quar > 0):
+                    if cached_batch is not None:
+                        # batch mode: the tagged plan is already
+                        # materialized in the cache (filled on the main
+                        # thread), so this filter plans over an
+                        # InMemoryRelation — no expression re-planning
+                        q_src = tagged
+                    else:
+                        # keys mode: THIS THREAD plans a fresh query —
+                        # it must not share the HOF-bearing normalize
+                        # tree with the main thread's merge planning
+                        # (see __init__: lambda variables carry mutable
+                        # eval state; concurrent constant folding over
+                        # shared instances corrupts plans)
+                        q_src = tag_batch(
+                            changes, exprs=self._exprs_quarantine
+                        )
                     q_df = (
-                        tagged.filter(F.col("_reason").isNotNull())
+                        q_src.filter(F.col("_reason").isNotNull())
                         .withColumnRenamed("_reason", "reason")
                         .withColumn("batch_id", F.lit(batch_id).cast("long"))
                         .select(
