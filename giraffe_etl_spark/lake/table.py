@@ -108,9 +108,27 @@ class Snapshot:
 
 # manifest-shard cache: shards are content-addressed and therefore
 # immutable, so a path can be cached forever; bounded FIFO so a
-# long-lived session over many tables stays flat
+# long-lived session over many tables stays flat.  Mutated from
+# concurrent committer threads — every get/insert/evict holds the
+# lock (two unsynchronized evictions at the cap can race to pop the
+# same key and fail an otherwise-valid commit).
+import threading as _threading
+
 _MANIFEST_CACHE: dict[str, list] = {}
 _MANIFEST_CACHE_CAP = 4096
+_MANIFEST_CACHE_LOCK = _threading.Lock()
+
+
+def _manifest_cache_put(path: str, entries: list) -> None:
+    with _MANIFEST_CACHE_LOCK:
+        while len(_MANIFEST_CACHE) >= _MANIFEST_CACHE_CAP:
+            _MANIFEST_CACHE.pop(next(iter(_MANIFEST_CACHE)), None)
+        _MANIFEST_CACHE[path] = entries
+
+
+def _manifest_cache_drop(path: str) -> None:
+    with _MANIFEST_CACHE_LOCK:
+        _MANIFEST_CACHE.pop(path, None)
 
 
 def _footer_stats(md, stats_cols: list[str]) -> dict[str, list]:
@@ -257,13 +275,12 @@ class Table:
         immutable everywhere).
         """
         path = os.path.join(self.manifest_dir, ref)
-        ent = _MANIFEST_CACHE.get(path)
+        with _MANIFEST_CACHE_LOCK:
+            ent = _MANIFEST_CACHE.get(path)
         if ent is None:
             with open(path) as f:
                 ent = json.loads(f.read())
-            if len(_MANIFEST_CACHE) >= _MANIFEST_CACHE_CAP:
-                _MANIFEST_CACHE.pop(next(iter(_MANIFEST_CACHE)))
-            _MANIFEST_CACHE[path] = ent
+            _manifest_cache_put(path, ent)
         return list(ent)
 
     def _store_manifest(self, entries: list[dict]) -> str:
@@ -286,7 +303,7 @@ class Table:
                 _atomic_create(path, content)
             except CommitConflict:
                 pass  # content-addressed: same name == same content
-            _MANIFEST_CACHE[path] = entries
+            _manifest_cache_put(path, entries)
         return ref
 
     def _read_snapshot_file(self, path: str) -> Snapshot:
@@ -350,7 +367,21 @@ class Table:
             "summary": snap.summary,
         }
         mpath = os.path.join(self.meta_dir, f"v{snap.snapshot_id}.json")
-        _atomic_create(mpath, json.dumps(doc, sort_keys=True))
+        try:
+            _atomic_create(mpath, json.dumps(doc, sort_keys=True))
+        except CommitConflict:
+            # A manifest with our id already exists.  Either (a) a live
+            # concurrent writer just created it and is about to flip the
+            # pointer — lose the race, let _retry_commit re-read — or
+            # (b) a writer CRASHED between creating it and the pointer
+            # flip, leaving an orphan that would otherwise block every
+            # future commit forever (all writers compose id N, collide,
+            # re-read an unmoved pointer, exhaust retries).  An orphan
+            # is distinguishable: its parent still IS the current
+            # pointee (a live winner flips within the grace period).
+            if not self._reap_orphan_manifest(mpath, snap.parent_id):
+                raise
+            _atomic_create(mpath, json.dumps(doc, sort_keys=True))
         cur = os.path.join(self.meta_dir, "_current")
         if os.path.exists(cur) and snap.parent_id is not None:
             with open(cur) as f:
@@ -358,6 +389,35 @@ class Table:
                     os.remove(mpath)
                     raise CommitConflict("current snapshot moved during commit")
         _atomic_write(cur, str(snap.snapshot_id))
+
+    # grace before a pointer-less manifest is declared abandoned; long
+    # enough that no live committer sits between manifest create and
+    # pointer flip (that window is driver-local JSON I/O, milliseconds)
+    ORPHAN_GRACE_S = 30.0
+
+    def _reap_orphan_manifest(self, mpath: str, parent_id: int | None) -> bool:
+        """Delete ``mpath`` iff it is an abandoned crash orphan.
+
+        True only when: the existing manifest's parent equals OUR
+        parent (= the snapshot we read as current), the pointer still
+        points at that parent (nobody flipped), and the file is older
+        than the grace period.  Any other state means a live racer —
+        back off.
+        """
+        try:
+            with open(mpath) as f:
+                other = json.loads(f.read())
+            if other.get("parent_id") != parent_id:
+                return False
+            if time.time() - os.path.getmtime(mpath) < self.ORPHAN_GRACE_S:
+                return False
+            with open(os.path.join(self.meta_dir, "_current")) as f:
+                if parent_id is None or int(f.read().strip()) != parent_id:
+                    return False
+            os.remove(mpath)
+            return True
+        except OSError:
+            return False
 
     @property
     def properties(self) -> dict[str, str]:
@@ -374,15 +434,19 @@ class Table:
         key = col or self.bucket_key()
         return F.pmod(F.hash(F.col(key)), F.lit(self.n_buckets())).cast("int")
 
-    def bucket_of(self, *keys) -> list[int]:
+    def bucket_of(self, *keys, n_buckets: int | None = None) -> list[int]:
         """Bucket ids for literal key values.
 
         Evaluates the EXACT partition transform (``pmod(hash(k), N)``)
         as a literal projection — one driver-local micro-job, no data
         scan — so lookup code can never drift from the write-side
         murmur3 seed/variant the way a reimplementation could.
+
+        ``n_buckets``: the bucket count to hash against — callers
+        pruning a specific snapshot MUST pass that snapshot's count
+        (``rescale_buckets`` changes it between snapshots).
         """
-        n = self.n_buckets()
+        n = n_buckets if n_buckets is not None else self.n_buckets()
         row = (
             self.spark.range(1)
             .select(
@@ -405,12 +469,23 @@ class Table:
         predicate pushdown, expressed as manifest-level pruning).
         Reads reconcile as usual, so the result is the live winner row
         per key.
+
+        The transform parameters (bucket count + key) are taken from
+        the snapshot actually being scanned: after ``rescale_buckets``,
+        pruning a pre-rescale snapshot with the CURRENT count would
+        select buckets absent from the old manifest and silently miss
+        rows (and a rescale racing between the hash job and the scan
+        would do the same).  Resolving the snapshot ONCE here closes
+        both.
         """
         if not values:
             raise ValueError("read_keys requires at least one key value")
-        bucket_ids = sorted(set(self.bucket_of(*values)))
+        snap = snap or self.current_snapshot()
+        n = int(snap.properties["bucket.count"])
+        key = snap.properties["bucket.key"]
+        bucket_ids = sorted(set(self.bucket_of(*values, n_buckets=n)))
         return self.read(snap=snap, buckets=bucket_ids).filter(
-            F.col(self.bucket_key()).isin(list(values))
+            F.col(key).isin(list(values))
         )
 
     # ---- read path --------------------------------------------------------
@@ -1328,7 +1403,7 @@ class Table:
                 ):
                     continue
                 os.remove(p)
-                _MANIFEST_CACHE.pop(p, None)
+                _manifest_cache_drop(p)
                 shards_removed += 1
         return {
             "snapshots_expired": len(expired),

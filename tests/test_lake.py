@@ -278,3 +278,58 @@ def test_read_keys_point_lookup_prunes_to_key_buckets(spark, tmp_root):
                t.read_keys(["k3"]).inputFiles()}
     want_files = {fi["path"] for fi in snap.buckets[str(want_bucket["k3"])]}
     assert scanned == want_files, (scanned, want_files)
+
+
+def test_read_keys_honors_the_scanned_snapshots_bucket_count(spark, tmp_root):
+    """Point lookups against a PRE-rescale snapshot must hash with that
+    snapshot's bucket count, not the current one — otherwise the prune
+    selects buckets absent from the old manifest and silently drops the
+    row (time travel across rescale_buckets)."""
+    t = make_table(spark, tmp_root, n_buckets=4)
+    t.append(kv_df(spark, [(f"k{i}", i) for i in range(32)]))
+    old = t.current_snapshot()
+    t.rescale_buckets(8)
+    t.append(kv_df(spark, [("post", 99)]))
+    for k in ("k0", "k7", "k19", "k31"):
+        got = [(r.k, r.v) for r in t.read_keys([k], snap=old).collect()]
+        assert got == [(k, int(k[1:]))], k
+    # the current snapshot still resolves under the new count
+    assert {r.k for r in t.read_keys(["post"]).collect()} == {"post"}
+
+
+def test_crash_orphan_manifest_is_adopted_after_grace(spark, tmp_root, monkeypatch):
+    """A writer that crashed between manifest create and the pointer
+    flip leaves v{N}.json orphaned; without reaping, every later commit
+    composes id N, collides, and retries forever.  After the grace
+    period the next committer deletes the orphan and proceeds."""
+    import json
+
+    t = make_table(spark, tmp_root)
+    t.append(kv_df(spark, [("a", 1)]))
+    cur = t.current_snapshot()
+    orphan = os.path.join(t.meta_dir, f"v{cur.snapshot_id + 1}.json")
+    with open(orphan, "w") as f:
+        json.dump({"parent_id": cur.snapshot_id, "snapshot_id": cur.snapshot_id + 1}, f)
+    monkeypatch.setattr(Table, "ORPHAN_GRACE_S", 0.0)
+    snap = t.append(kv_df(spark, [("b", 2)]))
+    assert snap.snapshot_id == cur.snapshot_id + 1
+    assert t.read().count() == 2
+
+
+def test_fresh_colliding_manifest_is_not_reaped(spark, tmp_root):
+    """Inside the grace period a colliding manifest is presumed to be a
+    live racer about to flip the pointer — the commit must back off
+    with CommitConflict, never delete it."""
+    import json
+
+    t = make_table(spark, tmp_root)
+    t.append(kv_df(spark, [("a", 1)]))
+    cur = t.current_snapshot()
+    orphan = os.path.join(t.meta_dir, f"v{cur.snapshot_id + 1}.json")
+    doc = {"parent_id": cur.snapshot_id, "snapshot_id": cur.snapshot_id + 1}
+    with open(orphan, "w") as f:
+        json.dump(doc, f)
+    with pytest.raises(CommitConflict):
+        t.append(kv_df(spark, [("b", 2)]))
+    with open(orphan) as f:  # racer's manifest untouched
+        assert json.load(f) == doc
