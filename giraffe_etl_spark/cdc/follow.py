@@ -65,27 +65,48 @@ class ResyncRequired(Exception):
 class ChangelogFollower:
     """Tail a source ``Table``'s commit log into a replica ``Table``."""
 
+    #: cursor value meaning "created, bootstrap copy not yet committed"
+    _BOOTSTRAPPING = "-1"
+
     def __init__(
         self,
         spark: SparkSession,
         src: Table,
         dst_path: str,
         n_buckets: int | None = None,
+        compact_threshold: int = 16,
     ):
         self.spark = spark
         self.src = src
+        # replica MOR maintenance: fold a bucket's deltas into its base
+        # above this many delta files (0 disables) — without it an
+        # un-compacted replica's read-side reconcile grows unboundedly
+        self.compact_threshold = compact_threshold
         if Table.exists(dst_path):
             self.dst = Table.load(spark, dst_path)
+            if self.dst.properties.get(_CURSOR_PROP, self._BOOTSTRAPPING) == (
+                self._BOOTSTRAPPING
+            ):
+                # a prior constructor crashed between Table.create and
+                # the bootstrap data commit: the sentinel cursor marks
+                # the copy as incomplete — redo it (idempotent: the
+                # real cursor lands only inside the copy's own commit)
+                self._bootstrap()
             return
         # bootstrap: replica shares the source's CURRENT schema and
-        # merge spec; bucket count is the replica's own choice
+        # merge spec; bucket count is the replica's own choice.  The
+        # cursor is created as a SENTINEL and set to the real source
+        # snapshot only inside the bootstrap data commit below — the
+        # two-commit create is therefore crash-atomic (a crash between
+        # them leaves the sentinel, and reconstruction redoes the copy
+        # instead of silently skipping all pre-cursor rows).
         snap = src.current_snapshot()
         props = {
             k: v
             for k, v in snap.properties.items()
             if k in ("merge.key", "merge.order", "stats.cols")
         }
-        props[_CURSOR_PROP] = str(snap.snapshot_id)
+        props[_CURSOR_PROP] = self._BOOTSTRAPPING
         self.dst = Table.create(
             spark,
             dst_path,
@@ -94,15 +115,29 @@ class ChangelogFollower:
             n_buckets=n_buckets or int(snap.properties["bucket.count"]),
             properties=props,
         )
-        # initial copy: the reconciled current content (winners incl.
-        # tombstones) — O(table) once, O(changes) forever after
-        full = src.read(snap, reconcile=True)
+        self._bootstrap()
+
+    def _bootstrap(self) -> None:
+        """Initial copy: reconciled current content, cursor set with it.
+
+        O(table) once, O(changes) forever after.  ONE commit carries
+        both the data and the real cursor (an empty source commits the
+        cursor as a metadata-only snapshot), so any crash point replays
+        idempotently — re-running stacks duplicate row VERSIONS at
+        worst, which per-key LWW reconcile collapses.
+        """
+        snap = self.src.current_snapshot()
+        self._evolve_dst_to_src(snap)
+        full = self.src.read(snap, reconcile=True)
         if full.take(1):
             self.dst.append_deltas(
-                list(range(self.dst.n_buckets())),
+                None,
                 full,
                 properties_update={_CURSOR_PROP: str(snap.snapshot_id)},
             )
+            self._compact_if_needed()
+        else:
+            self.dst.set_properties({_CURSOR_PROP: str(snap.snapshot_id)})
 
     @property
     def cursor(self) -> int:
@@ -163,13 +198,23 @@ class ChangelogFollower:
             return {"commits": 0, "files": 0, "src_snapshot": head.snapshot_id}
         self._evolve_dst_to_src(head)
         changes = self.src._scan(head, entries, with_bucket_col=False)
+        # touched buckets derive from the committed manifest diff
+        # (bucket_ids=None) — per-sync manifest metadata is O(touched
+        # replica buckets), not O(all buckets)
         self.dst.append_deltas(
-            list(range(self.dst.n_buckets())),
+            None,
             changes,
             properties_update={_CURSOR_PROP: str(head.snapshot_id)},
         )
+        self._compact_if_needed()
         return {
             "commits": n_commits,
             "files": len(entries),
             "src_snapshot": head.snapshot_id,
         }
+
+    def _compact_if_needed(self) -> None:
+        """Fold replica deltas above the threshold (same policy as the
+        applier) so read-side reconcile cost stays bounded."""
+        if self.compact_threshold:
+            self.dst.compact_deltas(max_delta_files=self.compact_threshold)

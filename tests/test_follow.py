@@ -165,3 +165,68 @@ def test_stream_to_applier_to_follower_end_to_end(spark, tmp_root):
 
     pd.testing.assert_frame_equal(got_src, want)
     pd.testing.assert_frame_equal(got_rep, want)
+
+
+def test_bootstrap_crash_is_redone_on_reconstruction(
+    spark, tmp_root, src_applier, monkeypatch
+):
+    """Crash between Table.create and the bootstrap data commit: the
+    replica exists but holds the sentinel cursor; reconstructing the
+    follower must redo the copy instead of silently skipping every
+    pre-cursor row (the cursor lands only inside the copy's commit)."""
+    _apply(spark, src_applier, 0, 60, 0)
+    dst_path = os.path.join(tmp_root, "dst")
+    real = ChangelogFollower._bootstrap
+
+    def boom(self):
+        raise RuntimeError("crash mid-bootstrap")
+
+    monkeypatch.setattr(ChangelogFollower, "_bootstrap", boom)
+    with pytest.raises(RuntimeError, match="crash mid-bootstrap"):
+        ChangelogFollower(spark, src_applier.pages, dst_path)
+    monkeypatch.setattr(ChangelogFollower, "_bootstrap", real)
+    f = ChangelogFollower(spark, src_applier.pages, dst_path)
+    assert _rows(f.dst) == _rows(src_applier.pages)
+    assert f.sync()["commits"] == 0  # cursor is at the copied snapshot
+
+
+def test_sync_manifest_touches_only_changed_buckets(spark, tmp_root, src_applier):
+    """Per-sync manifest metadata is O(touched replica buckets): a small
+    source batch (<= 6 distinct keys) must not mark all 8 replica
+    buckets dirty."""
+    _apply(spark, src_applier, 0, 100, 0)
+    f = ChangelogFollower(
+        spark, src_applier.pages, os.path.join(tmp_root, "dst"), n_buckets=8
+    )
+    pre = f.dst.current_snapshot()
+    _apply(spark, src_applier, 100, 102, 1)  # 6 events, <= 6 keys
+    f.sync()
+    post = f.dst.current_snapshot()
+    changed = {
+        b
+        for b in set(post.deltas) | set(pre.deltas)
+        if post.deltas.get(b) != pre.deltas.get(b)
+    }
+    assert changed  # the sync landed
+    assert len(changed) < f.dst.n_buckets(), sorted(changed)
+    assert _rows(f.dst) == _rows(src_applier.pages)
+
+
+def test_follower_auto_compacts_replica_deltas(spark, tmp_root, src_applier):
+    """Replica delta chains stay bounded: without auto-compaction the
+    read-side reconcile of a long-lived replica grows with every sync."""
+    _apply(spark, src_applier, 0, 60, 0)
+    f = ChangelogFollower(
+        spark,
+        src_applier.pages,
+        os.path.join(tmp_root, "dst"),
+        n_buckets=2,
+        compact_threshold=2,
+    )
+    for i in range(1, 7):
+        _apply(spark, src_applier, 60 + (i - 1) * 20, 60 + i * 20, i)
+        f.sync()
+    snap = f.dst.current_snapshot()
+    worst = max((len(fs) for fs in snap.deltas.values()), default=0)
+    assert worst <= 2, {b: len(fs) for b, fs in snap.deltas.items()}
+    assert _rows(f.dst) == _rows(src_applier.pages)
