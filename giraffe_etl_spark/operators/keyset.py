@@ -112,30 +112,67 @@ class PersistentKeyset:
 
     def assign_or_get(self, keys: DataFrame, key_col: str = "key") -> DataFrame:
         """Dictionary rows for every distinct non-null input key,
-        extending the dictionary with the unseen ones."""
+        extending the dictionary with the unseen ones.
+
+        Scale shape: the dictionary is only ever read through the
+        bucket transform — the batch's distinct keys hash to a bucket
+        id set (one tiny driver-side collect, O(n_buckets) values), and
+        both the anti-join (which keys are new?) and the id fetch scan
+        ONLY those buckets' files.  A key can match only inside its own
+        bucket, so the pruned scan is exact.  New keys' ids are read
+        back from the files the append commit itself added (the
+        manifest diff — O(new keys), durable, no recompute hazard),
+        never by re-scanning the table.  A billion-url dictionary
+        therefore costs each batch O(touched buckets) + O(new keys),
+        not O(dictionary).
+        """
         snap = self.table.current_snapshot()
         distinct = (
             keys.select(F.col(key_col).alias("key"))
             .filter(F.col(key_col).isNotNull())
             .distinct()
         )
-        cur = self.table.read(snap=snap)
+        n_b = int(snap.properties["bucket.count"])
+        bids = sorted(
+            int(r["_b"])
+            for r in distinct.select(
+                F.pmod(F.hash(F.col("key")), F.lit(n_b)).cast("int").alias("_b")
+            )
+            .distinct()
+            .collect()
+        )
+        cur = self.table.read(snap=snap, buckets=bids)
         new = distinct.join(cur.select("key"), "key", "left_anti").persist()
         try:
             n_new = new.count()
+            added: list[dict] = []
+            post = snap
             if n_new:
                 offset = int(snap.properties.get("keyset.max", "-1")) + 1
                 assigned = dense_ids_ordered(new, ["key"]).withColumn(
                     "dense_id", (F.col("dense_id") + offset).cast("long")
                 )
-                self.table.append(
+                post = self.table.append(
                     assigned,
                     {"keyset.max": str(offset + n_new - 1)},
                     base=snap,
                 )
+                pre_paths = {
+                    fi["path"] for fs in snap.buckets.values() for fi in fs
+                }
+                added = [
+                    fi
+                    for fs in post.buckets.values()
+                    for fi in fs
+                    if fi["path"] not in pre_paths
+                ]
         finally:
             new.unpersist()
-        return distinct.join(self.table.read(), "key")
+        existing = distinct.join(cur, "key")
+        if not added:
+            return existing
+        newly = self.table._scan(post, added, with_bucket_col=False)
+        return existing.unionByName(newly.select("key", "dense_id"))
 
 
 def dense_ids_ordered(

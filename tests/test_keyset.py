@@ -75,3 +75,43 @@ class TestPersistentKeyset:
             ).collect()
         }
         assert got == {"k1": 0, "k0": 1}
+
+
+def test_assign_or_get_scans_only_touched_buckets(spark, tmp_root):
+    """The dictionary is read ONLY through the bucket transform: a
+    batch's keys prune the scan to their buckets' files, and new keys'
+    ids come from the commit's own added files — never a full
+    dictionary re-scan (O(dictionary) per batch at 1e9 urls)."""
+    import os
+
+    from giraffe_etl_spark.operators.keyset import PersistentKeyset
+
+    ks = PersistentKeyset(spark, os.path.join(tmp_root, "dict"), n_buckets=8)
+    seed = spark.createDataFrame([(f"k{i}",) for i in range(64)], "key string")
+    ks.assign_or_get(seed)
+    pre = ks.table.current_snapshot()
+    pre_paths = {fi["path"] for fs in pre.buckets.values() for fi in fs}
+
+    batch = spark.createDataFrame([("k3",), ("k17",), ("brand-new",)], "key string")
+    out = ks.assign_or_get(batch)
+    got = {r.key: r.dense_id for r in out.collect()}
+    full = {r.key: r.dense_id for r in ks.lookup().collect()}
+    assert got == {k: full[k] for k in ("k3", "k17", "brand-new")}
+    assert got["brand-new"] == 64  # extends past the 64 seeded ids
+
+    post = ks.table.current_snapshot()
+    touched = {str(b) for b in ks.table.bucket_of("k3", "k17", "brand-new")}
+    allowed = {
+        fi["path"] for b in touched for fi in pre.buckets.get(b, [])
+    } | {
+        fi["path"]
+        for fs in post.buckets.values()
+        for fi in fs
+        if fi["path"] not in pre_paths
+    }
+    scanned = {
+        f.replace("file://", "").replace("file:", "") for f in out.inputFiles()
+    }
+    assert scanned <= allowed, scanned - allowed
+    # and it genuinely pruned: untouched buckets' files were not read
+    assert len(scanned) < len(pre_paths), (len(scanned), len(pre_paths))
