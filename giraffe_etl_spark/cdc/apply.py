@@ -172,7 +172,13 @@ class CdcApplier:
         compact_threshold: int = 16,
         planning: str = "auto",
         plan_sample: float = 0.02,
+        plan_sample_mode: str = "auto",
     ):
+        if plan_sample_mode not in ("auto", "range", "bernoulli"):
+            raise ValueError(
+                f"plan_sample_mode must be 'auto', 'range' or 'bernoulli': "
+                f"{plan_sample_mode!r}"
+            )
         if materialize not in ("keys", "batch"):
             raise ValueError(f"materialize must be 'keys' or 'batch': {materialize!r}")
         if merge_mode not in ("mor", "cow"):
@@ -242,6 +248,27 @@ class CdcApplier:
         #   rank_join/batch modes reuse the exact aggregate).
         self.planning = planning
         self.plan_sample = plan_sample
+        # How the plan sample is DRAWN:
+        #
+        # - "bernoulli": row-level sample — unbiased, but the sampling
+        #   predicate runs post-scan, so the job still reads + decodes
+        #   the batch's (url, warc_ts, lsn) columns in full: a fixed
+        #   ~1 s serial cost per batch that does not shrink with
+        #   cluster size.
+        # - "range": a contiguous lsn window of the same fraction.  A
+        #   binlog-tail source stores events lsn-ordered, so the window
+        #   predicate pushes down to parquet row-group statistics and
+        #   the scan reads ~frac of the SEGMENTS instead of all of
+        #   them — the sample job becomes O(sample), not O(batch).
+        #   Trade-off (documented, heuristic-only consumers): a key hot
+        #   ONLY in a burst outside the window is missed (it stays
+        #   unsalted — slower reducer, never wrong); the valid-count
+        #   estimate is near-exact because lsn density per event is
+        #   constant.
+        # - "auto" (default): "range" when the batch carries an
+        #   lsn_range (the applier knows the window bounds), else
+        #   "bernoulli".
+        self.plan_sample_mode = plan_sample_mode
         # prebuilt (reason, canonical-url) expression pair: constructing
         # the normalize tree costs ~1 s of driver-side py4j calls, a
         # pure serial cost per batch if rebuilt — build once, reuse.
@@ -425,14 +452,29 @@ class CdcApplier:
                 # salting isin matches the deduped url column).  The
                 # seed is pinned per batch id — deterministic replay.
                 frac = self._plan_fraction()
-                smp = key_stats_two_level(
-                    changes.select("url", "warc_ts", "lsn")
-                    .filter(
-                        F.col("url").isNotNull() & (F.trim(F.col("url")) != "")
-                    )
-                    .sample(fraction=frac, seed=42 + batch_id),
-                    self._exprs[1],
+                base_cols = changes.select("url", "warc_ts", "lsn").filter(
+                    F.col("url").isNotNull() & (F.trim(F.col("url")) != "")
                 )
+                use_range = lsn_range is not None and self.plan_sample_mode in (
+                    "auto", "range",
+                ) and frac < 1.0
+                if use_range:
+                    # contiguous lsn window: pushes down to row-group
+                    # stats, so the sample scan is O(sample) — see
+                    # plan_sample_mode in __init__
+                    lo, hi = lsn_range
+                    span = max(1, int((hi - lo + 1) * frac))
+                    # window start varies deterministically per batch so
+                    # a replay samples the same rows but successive
+                    # batches don't always probe their first segment
+                    start = lo + (batch_id * span) % max(1, hi - lo + 1 - span)
+                    smp_rows = base_cols.filter(
+                        (F.col("lsn") >= start) & (F.col("lsn") < start + span)
+                    )
+                    frac = span / (hi - lo + 1)
+                else:
+                    smp_rows = base_cols.sample(fraction=frac, seed=42 + batch_id)
+                smp = key_stats_two_level(smp_rows, self._exprs[1])
                 srow = smp.agg(
                     F.sum("_events").alias("tot"),
                     F.slice(
@@ -645,15 +687,22 @@ class CdcApplier:
             # target bytes cross the Arrow boundary.  See _merge.
             staged = winners
 
-            result = self._merge(
-                staged,
-                batch_id,
-                lsn_range,
-                phases,
-                bucket_counts=bucket_counts,
-                aligned=aligned,
-            )
-            q_thread.join()
+            try:
+                result = self._merge(
+                    staged,
+                    batch_id,
+                    lsn_range,
+                    phases,
+                    bucket_counts=bucket_counts,
+                    aligned=aligned,
+                )
+            finally:
+                # join even when _merge raises (BatchRaced, write
+                # error): a daemon quarantine thread left running would
+                # keep committing behind apply_batch's back, racing any
+                # immediate follow-up maintenance, and its own failure
+                # would vanish from q_err unobserved
+                q_thread.join()
             if q_err:
                 raise q_err[0]
             n_quar = q_result.get("n_quar", n_quar)

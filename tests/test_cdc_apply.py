@@ -291,3 +291,49 @@ def test_sampled_planning_matches_scan_planning(spark, tmp_root):
         assert res.buckets_touched > 0
     pd.testing.assert_frame_equal(final_table(s), final_table(p))
     assert_matches_oracle(p, pages, changes)
+
+
+@pytest.mark.parametrize("mode", ["range", "bernoulli"])
+def test_plan_sample_modes_match_oracle(spark, tmp_root, mode):
+    """Planning from an lsn-window sample (pushdown, O(sample) scan)
+    must produce the same final table as row-level Bernoulli sampling:
+    the sample feeds only heuristics (skew salting, size estimate),
+    never answers."""
+    from giraffe_etl_spark.cdc.replay import replay
+
+    a = CdcApplier(
+        spark,
+        tmp_root,
+        n_buckets=8,
+        planning="sample",
+        plan_sample_mode=mode,
+        plan_sample=0.1,
+    )
+    pages = gen_pages(40)
+    cfg = ChangeGenConfig(n_keys=40, late_frac=0.1, dup_frac=0.05,
+                          malformed_frac=0.05)
+    seed_pages(a.pages, spark.createDataFrame(pages))
+    replay(a, spark, n_events=300, batch_size=100, cfg=cfg)
+    assert_matches_oracle(a, pages, gen_changes(300, cfg))
+
+
+def test_quarantine_thread_is_joined_when_merge_fails(spark, tmp_root, monkeypatch):
+    """If the merge raises, the background quarantine commit must be
+    complete (joined) by the time apply_batch surfaces the error — a
+    daemon thread still committing would race follow-up maintenance."""
+    a = CdcApplier(spark, tmp_root, n_buckets=4)
+    seed_pages(a.pages, spark.createDataFrame(gen_pages(10)))
+    cfg = ChangeGenConfig(n_keys=10, malformed_frac=0.3)
+    changes = gen_changes(60, cfg)
+    n_bad = len(oracle_quarantine(changes))
+    assert n_bad > 0
+
+    def boom(*args, **kwargs):
+        raise RuntimeError("merge exploded")
+
+    monkeypatch.setattr(a, "_merge", boom)
+    with pytest.raises(RuntimeError, match="merge exploded"):
+        a.apply_batch(spark_changes(spark, changes), batch_id=0)
+    # joined-in-finally: the quarantine rows are already committed HERE,
+    # not eventually
+    assert a.quarantine.read().count() == n_bad
