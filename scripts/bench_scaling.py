@@ -112,15 +112,27 @@ def main() -> None:
 
     batch = args.batch or args.events
     lo_cores, hi_cores = args.n, 4 * args.n
-    lo_samples, hi_samples = [], []
+    lo_samples, hi_samples, controls = [], [], []
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    from cpu_control import measure as control_measure
+
     for rnd in range(args.rounds):
+        # same-window host control: pure-CPU process scaling at the two
+        # levels, measured right next to the engine samples, so a
+        # pass/fail row is attributable post-hoc (a window where even
+        # the hardware control scales < 0.9 cannot grade the engine)
+        c_lo = control_measure(lo_cores, 3.0)
+        c_hi = control_measure(hi_cores, 3.0)
+        ctl = round((c_hi / c_lo) / (hi_cores / lo_cores), 3)
+        controls.append(ctl)
         lo = run_level(lo_cores, args.events, batch, args.html_size, args.reps)
         hi = run_level(hi_cores, args.events, batch, args.html_size, args.reps)
         lo_samples.append(lo["apply_sec"])
         hi_samples.append(hi["apply_sec"])
         print(
             f"round {rnd}: local[{lo_cores}] {lo['apply_sec']:.2f}s  "
-            f"local[{hi_cores}] {hi['apply_sec']:.2f}s",
+            f"local[{hi_cores}] {hi['apply_sec']:.2f}s  "
+            f"(host control eff {ctl})",
             file=sys.stderr, flush=True,
         )
 
@@ -139,6 +151,7 @@ def main() -> None:
         "samples_n": [round(s, 2) for s in lo_samples],
         "samples_4n": [round(s, 2) for s in hi_samples],
         "efficiency": round(eff, 3),
+        "host_control_efficiency": controls,
         "pass": eff >= 0.8,
     }
     print(json.dumps(result))
