@@ -34,8 +34,10 @@ Mechanics (all reusing the table primitives):
 
 - source schema evolution propagates structurally: the change scan
   maps added files onto the source's CURRENT schema by column id, and
-  ``sync`` auto-adds/auto-widens replica columns to match (renames are
-  a manual replica operation — by-name matching cannot see them).
+  ``sync`` mirrors adds / renames / widenings / drops onto the replica
+  through a persisted src-id -> dst-id column map (``follow.idmap``) —
+  ids are rename-stable on both sides, so no evolution kind needs a
+  manual replica operation.
 
 At 100 TB: sync I/O is bounded by the changed files, the manifest walk
 is O(commits), and the replica write path is the same single-exchange
@@ -56,6 +58,8 @@ _APPEND_OPS = {"append", "delta-append"}
 _PRESERVING_OPS = {"compact", "rescale", "metadata", "create"}
 
 _CURSOR_PROP = "follow.src_snapshot"
+#: persisted src-column-id -> dst-column-id map (schema mirroring)
+_IDMAP_PROP = "follow.idmap"
 
 
 class ResyncRequired(Exception):
@@ -144,24 +148,111 @@ class ChangelogFollower:
         return int(self.dst.properties[_CURSOR_PROP])
 
     def _evolve_dst_to_src(self, src_snap) -> None:
-        """Auto-add / auto-widen replica columns to match the source."""
-        src_fields = {f["name"]: f["type"] for f in src_snap.schema_fields}
-        dst_fields = {
-            f["name"]: f["type"]
-            for f in self.dst.current_snapshot().schema_fields
+        """Mirror source schema evolution onto the replica — by column id.
+
+        The replica persists a src-id -> dst-id map (``follow.idmap``),
+        seeded positionally at bootstrap (the replica is created from
+        the source's current field list, so index i of each side is the
+        same column).  Ids are stable across renames on BOTH tables, so
+        every evolution kind propagates structurally:
+
+        * src id missing from the map      -> add_column on the replica
+        * mapped ids, names differ         -> rename_column (the round-3
+          manual-rename contract is gone)
+        * mapped ids, types differ         -> widen_column
+        * mapped src id gone from src      -> drop_column
+
+        Drops run first so a rename TO a just-dropped name cannot
+        collide.  Each step is idempotent against a crash between an
+        evolution commit and the idmap save: a re-run adopts an
+        existing same-name unmapped column instead of re-adding, and a
+        missing dst field just clears the stale map entry.  Replica
+        columns outside the map (user-added locals) are refused — the
+        sync append writes src-shaped frames under the replica's
+        current schema id, so a local extra would poison the scan.
+        """
+        import json as _json
+
+        idmap: dict[str, int] = _json.loads(
+            self.dst.properties.get(_IDMAP_PROP, "") or "{}"
+        )
+        dst_fields = self.dst.current_snapshot().schema_fields
+        dirty = False
+        if not idmap:
+            # fresh bootstrap or legacy replica (pre-idmap): seed by
+            # name — names match at bootstrap by construction, and the
+            # legacy contract guaranteed they matched at every sync.
+            # Persist the seed NOW: rename detection needs the pairing
+            # that existed before the rename.
+            by_name = {f["name"]: f["id"] for f in dst_fields}
+            idmap = {
+                str(f["id"]): by_name[f["name"]]
+                for f in src_snap.schema_fields
+                if f["name"] in by_name
+            }
+            dirty = True
+        src_fields = src_snap.schema_fields
+        src_ids = {f["id"] for f in src_fields}
+
+        def dst_by_id() -> dict:
+            return {
+                f["id"]: f for f in self.dst.current_snapshot().schema_fields
+            }
+
+        for sid_s in list(idmap):
+            if int(sid_s) not in src_ids:
+                hit = dst_by_id().get(idmap[sid_s])
+                if hit is not None:
+                    self.dst.drop_column(hit["name"])
+                del idmap[sid_s]
+                dirty = True
+        for f in src_fields:
+            did = idmap.get(str(f["id"]))
+            if did is None:
+                existing = [
+                    g
+                    for g in self.dst.current_snapshot().schema_fields
+                    if g["name"] == f["name"]
+                ]
+                if existing and existing[0]["id"] in set(idmap.values()):
+                    raise ResyncRequired(
+                        f"source added column {f['name']} but the replica "
+                        "already maps that name to a different source column"
+                    )
+                if existing:  # crash-replay: adopt the earlier add
+                    idmap[str(f["id"])] = existing[0]["id"]
+                else:
+                    snap = self.dst.add_column(f["name"], f["type"])
+                    new_id = [
+                        g["id"]
+                        for g in snap.schema_fields
+                        if g["name"] == f["name"]
+                    ][0]
+                    idmap[str(f["id"])] = new_id
+                dirty = True
+                continue
+            g = dst_by_id().get(did)
+            if g is None:
+                raise ResyncRequired(
+                    f"replica column for source id {f['id']} was dropped "
+                    "out-of-band; re-bootstrap"
+                )
+            if g["name"] != f["name"]:
+                self.dst.rename_column(g["name"], f["name"])
+            if g["type"] != f["type"]:
+                self.dst.widen_column(f["name"], f["type"])
+        unmapped = {
+            g["name"]
+            for g in self.dst.current_snapshot().schema_fields
+            if g["id"] not in set(idmap.values())
         }
-        extra = set(dst_fields) - set(src_fields)
-        if extra:
+        if unmapped:
             raise ResyncRequired(
-                f"replica has columns the source lacks: {sorted(extra)} — "
-                "a source column was renamed or dropped; rename it on the "
-                "replica manually or re-bootstrap"
+                f"replica has columns the source lacks: {sorted(unmapped)} — "
+                "drop them on the replica or re-bootstrap"
             )
-        for name, typ in src_fields.items():
-            if name not in dst_fields:
-                self.dst.add_column(name, typ)
-            elif dst_fields[name] != typ:
-                self.dst.widen_column(name, typ)
+        if dirty:
+            self.dst.set_properties({_IDMAP_PROP: _json.dumps(idmap)})
 
     def sync(self) -> dict:
         """Apply all source commits since the cursor; returns a report."""
@@ -192,11 +283,15 @@ class ChangelogFollower:
                 )
             n_commits += 1
             entries.extend(added)
+        # mirror schema BEFORE the early return: a metadata-only window
+        # (pure evolution, no data) must still propagate — a drop that
+        # waited for the next data commit would leave the replica
+        # serving a column the source no longer has
+        self._evolve_dst_to_src(head)
         if not entries:
             # nothing but preserving commits: advance the cursor only
             self.dst.set_properties({_CURSOR_PROP: str(head.snapshot_id)})
             return {"commits": 0, "files": 0, "src_snapshot": head.snapshot_id}
-        self._evolve_dst_to_src(head)
         changes = self.src._scan(head, entries, with_bucket_col=False)
         # touched buckets derive from the committed manifest diff
         # (bucket_ids=None) — per-sync manifest metadata is O(touched

@@ -23,11 +23,12 @@ everything above it (cdc/apply.py) a thin, portable planner:
   across — the copy-on-write alternative rewrites every touched
   bucket wholesale, which under uniform-key batches is the whole
   table,
-- **schema evolution by column id**: add / rename / widen keep stable
-  column ids (rename is a name change on the same id); every data file
-  records the schema id it was written under, and reads map old files
-  onto the current schema by id (rename-safe, widen-casts, fills added
-  columns with null),
+- **schema evolution by column id**: add / rename / widen / drop keep
+  stable column ids (rename is a name change on the same id; drop is
+  metadata-only and ids are never reused, so a re-added name cannot
+  resurrect dropped data); every data file records the schema id it
+  was written under, and reads map old files onto the current schema
+  by id (rename-safe, widen-casts, fills added columns with null),
 - **properties**: arbitrary string map carried on each snapshot — the
   CDC layer stores stream offsets there, which is what makes the
   offset log transactional with the data (exactly-once).
@@ -1068,6 +1069,14 @@ class Table:
         bad snapshots are unaffected, and the rollback itself can be
         rolled back.  Data files are shared by reference; nothing is
         rewritten.
+
+        Deliberately NOT wrapped in ``_retry_commit``, unlike every
+        other commit path: losing the race means someone committed new
+        data between the operator deciding to roll back and the
+        rollback landing, and silently retrying would erase that commit
+        without anyone having looked at it.  ``CommitConflict`` goes to
+        the caller — rolling back under concurrent writes deserves a
+        human decision.
         """
         target = self.snapshot_at(snapshot_id)
         base = self.current_snapshot()
@@ -1198,32 +1207,38 @@ class Table:
 
     # ---- schema evolution ----------------------------------------------------
 
-    def _evolve(self, mutate) -> Snapshot:
+    def _evolve(self, mutate, props_update=None) -> Snapshot:
         def compose(b: Snapshot) -> Snapshot:
             # re-derive from the (possibly fresh) base so a retry sees
             # any concurrently-added columns / schema versions
-            fields = mutate([dict(f) for f in b.schema_fields])
+            fields = mutate([dict(f) for f in b.schema_fields], b)
             new_sid = max(int(s) for s in b.schemas) + 1
             schemas = dict(b.schemas)
             schemas[str(new_sid)] = fields
             return self._commit(
-                b, b.buckets, None, schema_id=new_sid, schemas=schemas,
+                b, b.buckets, props_update, schema_id=new_sid, schemas=schemas,
                 operation="metadata",
             )
 
         return self._retry_commit(compose, self.current_snapshot())
 
     def add_column(self, name: str, spark_type: str) -> Snapshot:
-        def mutate(fields):
+        def mutate(fields, base):
             if any(f["name"] == name for f in fields):
                 raise ValueError(f"column exists: {name}")
-            next_id = max(f["id"] for f in fields) + 1
+            # ids must never be reused across the table's LIFETIME, not
+            # just the current schema: the scan maps old files by id, so
+            # re-allocating a dropped column's id would resurrect its
+            # stored values under the new column's name
+            next_id = 1 + max(
+                f["id"] for fs in base.schemas.values() for f in fs
+            )
             return fields + [{"id": next_id, "name": name, "type": spark_type}]
 
         return self._evolve(mutate)
 
     def rename_column(self, old: str, new: str) -> Snapshot:
-        def mutate(fields):
+        def mutate(fields, base):
             hit = [f for f in fields if f["name"] == old]
             if not hit:
                 raise ValueError(f"no such column: {old}")
@@ -1233,7 +1248,7 @@ class Table:
         return self._evolve(mutate)
 
     def widen_column(self, name: str, new_type: str) -> Snapshot:
-        def mutate(fields):
+        def mutate(fields, base):
             hit = [f for f in fields if f["name"] == name]
             if not hit:
                 raise ValueError(f"no such column: {name}")
@@ -1243,6 +1258,48 @@ class Table:
             return fields
 
         return self._evolve(mutate)
+
+    def drop_column(self, name: str) -> Snapshot:
+        """Drop a column (metadata-only, like Iceberg DROP COLUMN).
+
+        No data is rewritten: the id-aware scan simply stops selecting
+        the field, and parquet column pruning means old files never
+        even read the dropped pages.  Load-bearing columns are refused
+        — the bucket key, the merge key, and the merge.order columns
+        define the table's physical layout and LWW semantics.  A later
+        ``add_column`` with the same name gets a FRESH id, so the old
+        values stay dead (reads as null for old files, as written for
+        new ones).  Reference parity: giraffe-etl drops fields by
+        removing the Route mapping (Route.java) — here it is a schema
+        commit so time travel to pre-drop snapshots still sees the
+        column.
+        """
+        def mutate(fields, base):
+            hit = [f for f in fields if f["name"] == name]
+            if not hit:
+                raise ValueError(f"no such column: {name}")
+            props = base.properties
+            protected = {props.get("bucket.key"), props.get("merge.key")}
+            protected |= {
+                c.strip()
+                for c in props.get("merge.order", "").split(",")
+                if c.strip()
+            }
+            if name in protected:
+                raise ValueError(
+                    f"cannot drop {name}: bucket/merge key or order column"
+                )
+            return [f for f in fields if f["name"] != name]
+
+        # strip the column from footer-stats collection in the same
+        # commit (harmless if left — _footer_stats skips absent columns
+        # — but a dropped column must stop costing stats I/O)
+        stats = [
+            c
+            for c in self.properties.get("stats.cols", "").split(",")
+            if c and c != name
+        ]
+        return self._evolve(mutate, props_update={"stats.cols": ",".join(stats)})
 
     # ---- maintenance -----------------------------------------------------------
 

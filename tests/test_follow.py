@@ -108,6 +108,44 @@ def test_schema_evolution_propagates(spark, tmp_root, src_applier):
     assert _rows(f.dst) == _rows(src_applier.pages)
 
 
+def test_rename_and_drop_propagate_by_id(spark, tmp_root, src_applier):
+    """The idmap mirrors every evolution kind — incl. the two the
+    round-3 by-name contract could not see (rename, drop)."""
+    _apply(spark, src_applier, 0, 60, 0)
+    f = ChangelogFollower(spark, src_applier.pages, os.path.join(tmp_root, "dst"))
+
+    src_applier.pages.add_column("fetch_status", "int")
+    _apply(spark, src_applier, 60, 120, 1)
+    f.sync()
+    assert "fetch_status" in f.dst.read().columns
+
+    # rename on the source: ids are stable, so the replica column (with
+    # its already-synced values) is renamed, not dropped+re-added
+    src_applier.pages.rename_column("fetch_status", "status")
+    f.sync()  # metadata-only window still propagates
+    cols = f.dst.read().columns
+    assert "status" in cols and "fetch_status" not in cols
+    assert _rows(f.dst) == _rows(src_applier.pages)
+
+    # drop on the source
+    src_applier.pages.drop_column("status")
+    _apply(spark, src_applier, 120, 180, 2)
+    f.sync()
+    assert "status" not in f.dst.read().columns
+    assert _rows(f.dst) == _rows(src_applier.pages)
+
+
+def test_replica_local_column_requires_resync(spark, tmp_root, src_applier):
+    """A column added on the REPLICA only is outside the idmap: the sync
+    append writes src-shaped frames, so it must refuse, not corrupt."""
+    _apply(spark, src_applier, 0, 60, 0)
+    f = ChangelogFollower(spark, src_applier.pages, os.path.join(tmp_root, "dst"))
+    f.dst.add_column("local_note", "string")
+    _apply(spark, src_applier, 60, 120, 1)
+    with pytest.raises(ResyncRequired):
+        f.sync()
+
+
 def test_stream_to_applier_to_follower_end_to_end(spark, tmp_root):
     """The full pipe: file-source change stream -> exactly-once apply ->
     changelog-follower replica, all three layers agreeing with the

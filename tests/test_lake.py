@@ -146,6 +146,57 @@ def test_mixed_schema_files_union(spark, tmp_root):
     assert rows == {"old": (1, None), "new": (2, "x")}
 
 
+def test_schema_drop_column(spark, tmp_root):
+    t = make_table(spark, tmp_root)
+    t.append(kv_df(spark, [("a", 1)]))
+    t.add_column("tag", "string")
+    t.append(
+        spark.createDataFrame([("b", 2, "x")], "k string, v long, tag string")
+    )
+    t.drop_column("tag")
+    df = t.read()
+    assert "tag" not in df.columns
+    assert {(r.k, r.v) for r in df.collect()} == {("a", 1), ("b", 2)}
+    with pytest.raises(ValueError):
+        t.drop_column("k")  # bucket key is load-bearing
+    with pytest.raises(ValueError):
+        t.drop_column("nosuch")
+
+
+def test_drop_column_is_time_travel_safe(spark, tmp_root):
+    t = make_table(spark, tmp_root)
+    t.add_column("tag", "string")
+    t.append(
+        spark.createDataFrame([("a", 1, "x")], "k string, v long, tag string")
+    )
+    snap = t.current_snapshot()
+    t.drop_column("tag")
+    assert t.read(snap=snap).first().tag == "x"  # pre-drop snapshot intact
+    assert "tag" not in t.read().columns
+
+
+def test_dropped_column_id_never_reused(spark, tmp_root):
+    """Re-adding a dropped name allocates a FRESH id: the old stored
+    values stay dead (null), they do not resurrect under the new column."""
+    t = make_table(spark, tmp_root)
+    t.add_column("tag", "string")
+    t.append(
+        spark.createDataFrame(
+            [("a", 1, "secret")], "k string, v long, tag string"
+        )
+    )
+    old_id = [
+        f["id"] for f in t.current_snapshot().schema_fields if f["name"] == "tag"
+    ][0]
+    t.drop_column("tag")
+    t.add_column("tag", "string")
+    new_id = [
+        f["id"] for f in t.current_snapshot().schema_fields if f["name"] == "tag"
+    ][0]
+    assert new_id != old_id
+    assert t.read().filter("k = 'a'").first().tag is None
+
+
 def test_expire_orphan_files(spark, tmp_root):
     t = make_table(spark, tmp_root)
     t.append(kv_df(spark, [(f"k{i}", i) for i in range(10)]))
