@@ -173,6 +173,7 @@ class CdcApplier:
         planning: str = "auto",
         plan_sample: float = 0.02,
         plan_sample_mode: str = "auto",
+        agg_fallback_entries: int = 1 << 20,
     ):
         if plan_sample_mode not in ("auto", "range", "bernoulli"):
             raise ValueError(
@@ -269,6 +270,17 @@ class CdcApplier:
         #   lsn_range (the applier knows the window bounds), else
         #   "bernoulli".
         self.plan_sample_mode = plan_sample_mode
+        # agg-dedup only: ObjectHashAggregate falls back to SORT-based
+        # aggregation after this many distinct keys per task (Spark
+        # default: 128 — i.e. always, for any real batch), which would
+        # sort every payload row map-side.  The hash buffer holds one
+        # winner row per distinct key per task, so memory is bounded by
+        # (distinct keys per input split) x row width — size input
+        # splits (spark.sql.files.maxPartitionBytes / binlog segment
+        # size) so that fits the executor, the same sizing rule the
+        # shuffle already imposes.  1M keys x ~1 KB row = ~1 GB worst
+        # case per task at the default.
+        self.agg_fallback_entries = agg_fallback_entries
         # prebuilt (reason, canonical-url) expression pair: constructing
         # the normalize tree costs ~1 s of driver-side py4j calls, a
         # pure serial cost per batch if rebuilt — build once, reuse.
@@ -326,10 +338,26 @@ class CdcApplier:
             # exactly-once guard: replayed batch is a committed no-op
             return ApplyResult(batch_id=batch_id, skipped=True)
 
-        aqe_key = "spark.sql.adaptive.enabled"
-        aqe_old = self.spark.conf.get(aqe_key, "true")
+        # conf pinned for the duration of this batch (same multi-tenant
+        # caveat as ``adaptive`` — see __init__):
+        # - agg mode pins shuffle partitions to the bucket count so the
+        #   groupBy exchange (pmod(murmur3(url), N)) IS the table's
+        #   bucket transform — the dedup aggregate's one exchange doubles
+        #   as the write clustering, zero extra payload shuffles,
+        # - and raises the ObjectHashAggregate sort fallback (default
+        #   128 keys!) so the map-side partial max_by stays a hash
+        #   aggregate instead of sorting every payload row.
+        pinned: dict[str, str] = {}
         if self.adaptive is not None:
-            self.spark.conf.set(aqe_key, str(bool(self.adaptive)).lower())
+            pinned["spark.sql.adaptive.enabled"] = str(bool(self.adaptive)).lower()
+        if self.dedup_mode == "agg":
+            pinned["spark.sql.shuffle.partitions"] = str(self.pages.n_buckets())
+            pinned["spark.sql.objectHashAggregate.sortBased.fallbackThreshold"] = (
+                str(self.agg_fallback_entries)
+            )
+        saved = {k: self.spark.conf.get(k, None) for k in pinned}
+        for k, v in pinned.items():
+            self.spark.conf.set(k, v)
         try:
             return self._apply_batch_inner(changes, batch_id, lsn_range, t0)
         except BatchRaced:
@@ -337,8 +365,11 @@ class CdcApplier:
             # batch id — exactly-once means our copy must not land
             return ApplyResult(batch_id=batch_id, skipped=True)
         finally:
-            if self.adaptive is not None:
-                self.spark.conf.set(aqe_key, aqe_old)
+            for k, v in saved.items():
+                if v is None:
+                    self.spark.conf.unset(k)
+                else:
+                    self.spark.conf.set(k, v)
 
     def _watermark_guard(self, batch_id: int):
         """Abort a commit retry if the fresh snapshot covers batch_id."""
@@ -445,7 +476,100 @@ class CdcApplier:
             # broadcast exchange — the tiny list compiles to an isin).
             t_p = time.monotonic()
             phases["setup"] = int((t_p - t0) * 1000)
-            if sampled:
+            # quarantine route (idempotent via its own batch watermark).
+            # "batch" mode knows the count up front and skips the write
+            # job for clean batches; "keys" mode learns the count from
+            # the committed parquet footers of the append itself.  The
+            # append is an INDEPENDENT job against a side table, so it
+            # runs on a driver thread concurrently with the PLANNING
+            # job and the merge —
+            # Spark's scheduler interleaves the two job DAGs across the
+            # same executors, hiding the quarantine job's fixed
+            # scheduling + commit latency entirely (order vs the pages
+            # commit does not matter: each commit is guarded by its own
+            # batch watermark, so any crash point replays idempotently).
+            t_q = time.monotonic()
+            q_result: dict = {}
+
+            def _quarantine_route():
+                q_mark = f"stream.{self.stream_id}.last_batch"
+                q_last = int(self.quarantine.properties.get(q_mark, "-1"))
+                if q_last < batch_id and (cached_batch is None or n_quar > 0):
+                    if cached_batch is not None:
+                        # batch mode: the tagged plan is already
+                        # materialized in the cache (filled on the main
+                        # thread), so this filter plans over an
+                        # InMemoryRelation — no expression re-planning
+                        q_src = tagged
+                    else:
+                        # keys mode: THIS THREAD plans a fresh query —
+                        # it must not share the HOF-bearing normalize
+                        # tree with the main thread's merge planning
+                        # (see __init__: lambda variables carry mutable
+                        # eval state; concurrent constant folding over
+                        # shared instances corrupts plans)
+                        q_src = tag_batch(
+                            changes, exprs=self._exprs_quarantine
+                        )
+                    q_df = (
+                        q_src.filter(F.col("_reason").isNotNull())
+                        .withColumnRenamed("_reason", "reason")
+                        .withColumn("batch_id", F.lit(batch_id).cast("long"))
+                        .select(
+                            "lsn", "op", "url", "warc_ts", "html", "reason", "batch_id"
+                        )
+                    )
+                    def q_guard(fresh) -> None:
+                        if int(fresh.properties.get(q_mark, "-1")) >= batch_id:
+                            raise BatchRaced(batch_id)
+
+                    try:
+                        q_snap = self.quarantine.append(
+                            q_df, {q_mark: str(batch_id)}, guard=q_guard
+                        )
+                    except BatchRaced:
+                        # concurrent applier quarantined this batch
+                        return
+                    if cached_batch is None:
+                        q_result["n_quar"] = sum(
+                            fi["rows"] for fs in q_snap.buckets.values() for fi in fs
+                        ) - sum(
+                            fi["rows"]
+                            for fs in self.quarantine.snapshot_at(
+                                q_snap.parent_id
+                            ).buckets.values()
+                            for fi in fs
+                        )
+
+            import threading
+
+            q_err: list[BaseException] = []
+
+            def _quarantine_thread():
+                try:
+                    _quarantine_route()
+                except BaseException as e:  # surfaced after join
+                    q_err.append(e)
+                finally:
+                    q_result["ms"] = int((time.monotonic() - t_q) * 1000)
+
+            q_thread = threading.Thread(target=_quarantine_thread, daemon=True)
+            q_thread.start()
+
+            if sampled and self.dedup_mode == "agg":
+                # agg dedup needs NO plan at all: map-side partial
+                # aggregation is skew-proof by construction (a hot key
+                # collapses to one partial row per map task before the
+                # exchange), so there is no salting decision to make;
+                # the touched-bucket set derives from the committed
+                # manifest diff and exact counts ride the merge job's
+                # observation.  Zero planning jobs, zero serial cost.
+                n_valid = 0
+                hot_candidates = []
+                bucket_counts = None
+                n_changes = 0
+                phases["plan_collect"] = 0
+            elif sampled:
                 # one tiny aggregate over a Bernoulli sample: estimated
                 # valid-event total (feeds the auto skew threshold) and
                 # the hot-key candidate list (canonicalized, so the
@@ -553,85 +677,6 @@ class CdcApplier:
                         n_changes = changes.count()
             phases["plan"] = int((time.monotonic() - t_p) * 1000)
 
-            # quarantine route (idempotent via its own batch watermark).
-            # "batch" mode knows the count up front and skips the write
-            # job for clean batches; "keys" mode learns the count from
-            # the committed parquet footers of the append itself.  The
-            # append is an INDEPENDENT job against a side table, so it
-            # runs on a driver thread concurrently with the merge —
-            # Spark's scheduler interleaves the two job DAGs across the
-            # same executors, hiding the quarantine job's fixed
-            # scheduling + commit latency entirely (order vs the pages
-            # commit does not matter: each commit is guarded by its own
-            # batch watermark, so any crash point replays idempotently).
-            t_q = time.monotonic()
-            q_result: dict = {}
-
-            def _quarantine_route():
-                q_mark = f"stream.{self.stream_id}.last_batch"
-                q_last = int(self.quarantine.properties.get(q_mark, "-1"))
-                if q_last < batch_id and (cached_batch is None or n_quar > 0):
-                    if cached_batch is not None:
-                        # batch mode: the tagged plan is already
-                        # materialized in the cache (filled on the main
-                        # thread), so this filter plans over an
-                        # InMemoryRelation — no expression re-planning
-                        q_src = tagged
-                    else:
-                        # keys mode: THIS THREAD plans a fresh query —
-                        # it must not share the HOF-bearing normalize
-                        # tree with the main thread's merge planning
-                        # (see __init__: lambda variables carry mutable
-                        # eval state; concurrent constant folding over
-                        # shared instances corrupts plans)
-                        q_src = tag_batch(
-                            changes, exprs=self._exprs_quarantine
-                        )
-                    q_df = (
-                        q_src.filter(F.col("_reason").isNotNull())
-                        .withColumnRenamed("_reason", "reason")
-                        .withColumn("batch_id", F.lit(batch_id).cast("long"))
-                        .select(
-                            "lsn", "op", "url", "warc_ts", "html", "reason", "batch_id"
-                        )
-                    )
-                    def q_guard(fresh) -> None:
-                        if int(fresh.properties.get(q_mark, "-1")) >= batch_id:
-                            raise BatchRaced(batch_id)
-
-                    try:
-                        q_snap = self.quarantine.append(
-                            q_df, {q_mark: str(batch_id)}, guard=q_guard
-                        )
-                    except BatchRaced:
-                        # concurrent applier quarantined this batch
-                        return
-                    if cached_batch is None:
-                        q_result["n_quar"] = sum(
-                            fi["rows"] for fs in q_snap.buckets.values() for fi in fs
-                        ) - sum(
-                            fi["rows"]
-                            for fs in self.quarantine.snapshot_at(
-                                q_snap.parent_id
-                            ).buckets.values()
-                            for fi in fs
-                        )
-
-            import threading
-
-            q_err: list[BaseException] = []
-
-            def _quarantine_thread():
-                try:
-                    _quarantine_route()
-                except BaseException as e:  # surfaced after join
-                    q_err.append(e)
-                finally:
-                    q_result["ms"] = int((time.monotonic() - t_q) * 1000)
-
-            q_thread = threading.Thread(target=_quarantine_thread, daemon=True)
-            q_thread.start()
-
             n_hot = 0
             aligned = False
             if self.dedup_mode == "window":
@@ -662,7 +707,22 @@ class CdcApplier:
                     aligned = True
                 winners = dedup_winners_window(valid, hot_keys=hot_list or None)
             elif self.dedup_mode == "agg":
+                # ONE exchange total: apply_batch pinned shuffle
+                # partitions to n_buckets, so the aggregate's hash
+                # exchange (pmod(murmur3(url), N)) is ALREADY the
+                # table's bucket transform — the write reuses it
+                # (clustered), exactly like the window path's explicit
+                # bucket-aligned repartition.  Map-side partial max_by
+                # collapses hot keys before the shuffle, so no salting
+                # machinery and no planning job exist in this mode.
                 winners = dedup_winners(valid)
+                aligned = (
+                    self.merge_mode == "mor"
+                    and int(
+                        self.spark.conf.get("spark.sql.shuffle.partitions")
+                    )
+                    == self.pages.n_buckets()
+                )
             else:  # "rank_join": payload never shuffles pre-merge
                 # the cached keys are only exact in "batch" mode; the
                 # keys-mode planning aggregate is a validity SUPERSET
@@ -742,16 +802,16 @@ class CdcApplier:
         """Whether this batch plans from a sample (see ``planning``)."""
         shape_ok = (
             self.merge_mode == "mor"
-            and self.dedup_mode == "window"
+            and self.dedup_mode in ("window", "agg")
             and self.materialize == "keys"
         )
         if self.planning == "sample":
             if not shape_ok:
                 raise ValueError(
                     "planning='sample' requires merge_mode='mor', "
-                    "dedup_mode='window', materialize='keys' (cow must "
-                    "declare touched buckets up front; rank_join/batch "
-                    "reuse the exact per-key aggregate)"
+                    "dedup_mode='window' or 'agg', materialize='keys' "
+                    "(cow must declare touched buckets up front; "
+                    "rank_join/batch reuse the exact per-key aggregate)"
                 )
             return True
         return self.planning == "auto" and shape_ok
@@ -834,20 +894,33 @@ class CdcApplier:
             and html_c in payload_cols
             and src_col(text_c, src_cols) is None
         ):
-            from ..functions.udf import extract_text_udf, tag_lang_udf
+            need_lang = lang_c in payload_cols and src_col(lang_c, src_cols) is None
+            if need_lang:
+                # both columns derive from html: ONE struct-returning
+                # Arrow UDF node (see extract_text_lang_udf) — html
+                # crosses to Python once, (text, lang) come back once.
+                # Both GetStructField references resolve to the same
+                # PythonUDF expression, which ExtractPythonUDFs pulls
+                # into a single ArrowEvalPython node (verified by plan
+                # test: exactly one ArrowEvalPython in the merge
+                # subtree).
+                from ..functions.udf import extract_text_lang_udf
 
-            merged = merged.withColumn(
-                text_c,
-                F.when(
-                    live, extract_text_udf(F.when(live, F.col(html_c)))
-                ).otherwise(F.col(text_c)),
-            )
-            if lang_c in payload_cols and src_col(lang_c, src_cols) is None:
+                tl = extract_text_lang_udf(F.when(live, F.col(html_c)))
+                merged = merged.withColumns(
+                    {
+                        text_c: F.when(live, tl["text"]).otherwise(F.col(text_c)),
+                        lang_c: F.when(live, tl["lang"]).otherwise(F.col(lang_c)),
+                    }
+                )
+            else:
+                from ..functions.udf import extract_text_udf
+
                 merged = merged.withColumn(
-                    lang_c,
+                    text_c,
                     F.when(
-                        live, tag_lang_udf(F.when(live, F.col(text_c)))
-                    ).otherwise(F.col(lang_c)),
+                        live, extract_text_udf(F.when(live, F.col(html_c)))
+                    ).otherwise(F.col(text_c)),
                 )
         return merged
 
