@@ -6,20 +6,25 @@ into a single whole-stage-codegen'd pass over the scan.
 
 Dedup strategy (the heart of the apply stage):
 
-``dedup_winners`` uses ``groupBy(url).agg(max_by(payload, (warc_ts,
-lsn)))``.  Spark executes this as a partial (map-side) hash aggregate
-followed by a final aggregate after the hash(url) shuffle — i.e. hot
-keys are collapsed *before* the shuffle, so a zipf-skewed stream ships
-at most (#map tasks) pre-aggregated rows per hot key instead of
-millions.  This is the same trick as giraffe-etl's per-value
-memoization (compute once per distinct value, ProcessingEngine.java:
-74-89 — behavior studied, not ported) done with relational algebra.
+``dedup_winners_window`` (the applier's DEFAULT) is the row_number()
+formulation over the bucket-aligned exchange, plus sampled hot-key
+detection + salting (two-phase: per (url, salt) top-1, then per url
+top-1).  The payload crosses exactly ONE exchange, which doubles as
+the write clustering.
 
-``dedup_winners_window`` is the explicit row_number() formulation, plus
-hot-key detection + salting (two-phase: per (url, salt) top-1, then per
-url top-1).  It exists to demonstrate and test explicit skew handling
-per the north rule; the agg path is the default because the partial
-aggregate subsumes salting with less machinery.
+``dedup_winners`` is ``groupBy(url).agg(max_by(payload, (warc_ts,
+lsn)))``.  Map-side partial aggregation collapses hot keys *before*
+the shuffle (at most #map-tasks pre-aggregated rows per hot key), so
+it needs no salting machinery and no planning job at all — this is the
+same trick as giraffe-etl's per-value memoization (compute once per
+distinct value, ProcessingEngine.java:74-89 — behavior studied, not
+ported) done with relational algebra.  Why it is NOT the default:
+``max_by`` is a *declarative* aggregate with a complex-typed buffer,
+which Spark can only execute as SortAggregate — both the partial and
+final aggregates SORT full payload rows, measured slower than the
+window formulation's single post-shuffle sort.  It stays the right
+choice for extreme-skew streams where sampled detection is unreliable
+(each map task emits one row per distinct key regardless of skew).
 """
 
 from __future__ import annotations
@@ -121,10 +126,10 @@ def dedup_winners(valid: DataFrame) -> DataFrame:
     stream carries (e.g. post-evolution extras) ride along in the
     winner payload.
 
-    NOTE: the full payload (html) rides through the shuffle.  Prefer
-    ``dedup_winners_rank_join`` in the apply path — it shuffles only
-    (url, warc_ts, lsn) and fetches winner payloads with a join the
-    optimizer turns into a broadcast, so payload bytes never shuffle.
+    NOTE: the full payload (html) rides through the shuffle, and the
+    aggregate executes as SortAggregate on both sides of it (see module
+    docstring) — measure against the window formulation before
+    preferring this for anything but extreme-skew streams.
     """
     cols = valid.columns
     payload = F.struct(*[F.col(c) for c in cols])

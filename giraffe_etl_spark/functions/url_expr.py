@@ -183,10 +183,19 @@ def _assemble(u: Column) -> Column:
 # - scheme prefix match == the two startswith checks,
 # - (?!www\.)       == hp (the part after ://) not startswith 'www.',
 # - [a-z0-9.-]+ '/' == first '/' in hp at position >= 2 AND every char
-#                      before it drawn from the class (translate
-#                      deletes the class; empty remainder == all match),
-# - [^?#A-Z:\s]*\z  == translate deleting the FORBIDDEN set from the
-#                      part after the first '/' removes nothing.
+#                      of the host slice (substring_index) drawn from
+#                      the class (translate deletes the class; empty
+#                      remainder == all match),
+# - [^?#A-Z:\s]*\z  == translate deleting the FORBIDDEN set from ALL of
+#                      hp removes nothing — valid on the whole string,
+#                      not just the path, because the host class and
+#                      '/' contain no forbidden characters, so the two
+#                      formulations accept identical strings while
+#                      scanning hp once instead of slicing out the path
+#                      (expression trees get no common-subexpression
+#                      elimination inside CaseWhen branches; every
+#                      avoided reference to hp is an avoided
+#                      re-evaluation).
 _HOST_CHARS = "abcdefghijklmnopqrstuvwxyz0123456789.-"
 _PATH_FORBIDDEN = "?#:ABCDEFGHIJKLMNOPQRSTUVWXYZ \t\n\x0b\x0c\r"
 
@@ -195,14 +204,16 @@ def _fast_canonical(u: Column) -> Column:
     hp = F.when(u.startswith("http://"), F.substring(u, 8, 2_000_000)).when(
         u.startswith("https://"), F.substring(u, 9, 2_000_000)
     )  # else NULL -> the guard evaluates null -> CaseWhen treats as false
-    slash = F.locate("/", hp)
-    host = F.substring(hp, 1, slash - 1)
-    rest = F.substring(hp, slash + 1, 2_000_000)
     grammar = (
         ~hp.startswith("www.")
-        & (slash >= 2)
-        & (F.length(F.translate(host, _HOST_CHARS, "")) == 0)
-        & (F.length(F.translate(rest, _PATH_FORBIDDEN, "")) == F.length(rest))
+        & (F.locate("/", hp) >= 2)
+        & (F.length(F.translate(hp, _PATH_FORBIDDEN, "")) == F.length(hp))
+        & (
+            F.length(
+                F.translate(F.substring_index(hp, "/", 1), _HOST_CHARS, "")
+            )
+            == 0
+        )
     )
     no_dotseg = (
         ~u.contains("/./")

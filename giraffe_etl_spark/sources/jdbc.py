@@ -5,9 +5,11 @@ The reference reads a table through a JDBC cursor on one thread
 this is ``spark.read.jdbc`` with an explicit partition column + bounds
 so N executors each pull a disjoint key range in parallel.
 
-This sandbox ships no database or JDBC driver, so the helper builds
-and returns the fully-configured reader plan; ``.load()`` is the only
-call that needs a live database.  Tested for option wiring only.
+The helper builds and returns the fully-configured reader plan;
+``.load()`` executes it against the database.  Tested end-to-end
+against an in-process Apache Derby instance (the embedded database
+Spark already ships for its Hive metastore), including the partitioned
+fan-out path: see tests/test_sources.py::test_jdbc_live_derby_ingest.
 """
 
 from __future__ import annotations
