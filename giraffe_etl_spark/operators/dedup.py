@@ -21,7 +21,10 @@ all JVM-side); hashing uses xxhash64/hash built-ins — no Python UDFs.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.functions import pandas_udf
 
 
 def _normalized_text(col: str) -> F.Column:
@@ -116,6 +119,69 @@ def minhash_signature(shingle_col: F.Column, num_hashes: int = 64) -> F.Column:
     )
 
 
+_MERSENNE61 = (1 << 61) - 1
+
+
+def _band_buckets_udf(num_hashes: int, bands: int):
+    """Arrow-batched minhash banding: array<long> shingles -> array<long>
+    of ``bands`` LSH bucket ids, all ``num_hashes`` permutations in one
+    numpy pass per batch.
+
+    Hash family: ``h_i(x) = (a_i * x32 + b_i) mod (2^61 - 1)`` over the
+    low 32 bits of the shingle fingerprint (products stay < 2^63, so
+    uint64 arithmetic is exact) — the standard universal family for
+    minhash.  Band bucket = FNV fold of the band's row minima.  The
+    expression engine's seeded-xxhash64 family (``minhash_signature``)
+    gives DIFFERENT buckets — any min-wise family is valid, candidates
+    are verified by exact Jaccard downstream — but ~10x slower: 32
+    interpreted higher-order ``transform`` passes vs one vectorized
+    matmul-shaped sweep (no codegen exists for HOF lambdas).
+
+    Docs with no shingles get the constant bucket -1 in every band
+    (same collide-then-verify behavior as the expression path, where
+    ``array_min`` of an empty array is null).
+    """
+    rng = np.random.RandomState(0x5EED)
+    a = rng.randint(1, 1 << 31, size=num_hashes).astype(np.uint64)
+    b = rng.randint(0, _MERSENNE61, size=num_hashes).astype(np.uint64)
+    rpb = num_hashes // bands
+    p = np.uint64(_MERSENNE61)
+    mask32 = np.uint64(0xFFFFFFFF)
+    fnv_off = np.uint64(14695981039346656037)
+    fnv_prime = np.uint64(1099511628211)
+
+    def bucketize(sh):
+        n = len(sh)
+        lens = np.fromiter(
+            (0 if x is None else len(x) for x in sh), np.int64, count=n
+        )
+        out = np.full((n, bands), -1, np.int64)
+        nz = lens > 0
+        if nz.any():
+            flat = (
+                np.concatenate([np.asarray(x) for x in sh[nz]])
+                .astype(np.uint64)
+                & mask32
+            )
+            offs = np.zeros(int(nz.sum()), np.int64)
+            np.cumsum(lens[nz][:-1], out=offs[1:])
+            # one vectorized pass per permutation keeps peak memory at
+            # O(total shingles), not O(num_hashes * total shingles)
+            mins = np.empty((num_hashes, offs.size), np.uint64)
+            for i in range(num_hashes):
+                mins[i] = np.minimum.reduceat((a[i] * flat + b[i]) % p, offs)
+            buckets = np.empty((bands, offs.size), np.uint64)
+            for band in range(bands):
+                acc = np.full(offs.size, fnv_off, np.uint64)
+                for r in range(rpb):
+                    acc = (acc * fnv_prime) ^ mins[band * rpb + r]
+                buckets[band] = acc
+            out[nz] = buckets.T.copy().view(np.int64)  # bit-exact reinterpret
+        return pd.Series(list(out))
+
+    return pandas_udf(bucketize, "array<long>")
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -124,6 +190,7 @@ def minhash_lsh_candidates(
     bands: int = 16,
     shingle_n: int = 5,
     sh_df: DataFrame | None = None,
+    engine: str = "arrow",
 ) -> DataFrame:
     """Candidate duplicate pairs (a < b) via banded minhash LSH.
 
@@ -136,6 +203,13 @@ def minhash_lsh_candidates(
     fingerprinted-long shingles — the hashing below is type-generic);
     pass one to share a single shingling pass with the Jaccard
     verifier (see ``minhash_lsh_dedup``).
+
+    ``engine``: ``"arrow"`` (default) computes all band buckets with
+    one vectorized numpy sweep per Arrow batch (``_band_buckets_udf``);
+    ``"expr"`` keeps the pure-expression seeded-xxhash64 formulation —
+    different hash family, same recall guarantees, ~10x slower on wide
+    signatures, but zero Python in the plan (useful where the runtime
+    forbids Python workers).
     """
     rows_per_band = num_hashes // bands
     if sh_df is not None:
@@ -144,28 +218,44 @@ def minhash_lsh_candidates(
         sh = F.array_distinct(shingles(_normalized_text(text_col), shingle_n))
         shingled = df.select(F.col(id_col).alias("_id"), sh.alias("_sh"))
 
-    def perm(i: int):
-        return lambda s: F.xxhash64(s, F.lit(i))
-
-    # Band buckets are computed DIRECTLY from each permutation's min —
-    # never via an intermediate signature-array column.  Catalyst's
-    # projection collapse would inline such an array into every
-    # element_at reference, cloning the shingle expression tree
-    # bands*num_hashes times and sending the optimizer into minutes of
-    # single-threaded plan rewriting (measured: 400 s driver-side on a
-    # 5 k-doc input).  Here every subtree appears exactly once.
-    band_structs = []
-    for b in range(bands):
-        mins = [
-            F.array_min(F.transform(F.col("_sh"), perm(b * rows_per_band + r)))
-            for r in range(rows_per_band)
-        ]
-        band_structs.append(
-            F.struct(F.lit(b).alias("band"), F.xxhash64(*mins).alias("bucket"))
+    if engine == "arrow":
+        # string shingles are fingerprinted to longs first (one HOF
+        # pass) so the Arrow kernel always sees array<long>
+        sh_col = F.col("_sh")
+        if dict(shingled.dtypes)["_sh"] != "array<bigint>":
+            sh_col = F.transform(sh_col, lambda s: F.xxhash64(s))
+        bb = _band_buckets_udf(num_hashes, bands)
+        banded = shingled.select(
+            "_id", F.posexplode(bb(sh_col)).alias("band", "bucket")
         )
-    banded = shingled.select(
-        "_id", F.explode(F.array(*band_structs)).alias("bb")
-    ).select("_id", "bb.band", "bb.bucket")
+    else:
+        def perm(i: int):
+            return lambda s: F.xxhash64(s, F.lit(i))
+
+        # Band buckets are computed DIRECTLY from each permutation's
+        # min — never via an intermediate signature-array column.
+        # Catalyst's projection collapse would inline such an array
+        # into every element_at reference, cloning the shingle
+        # expression tree bands*num_hashes times and sending the
+        # optimizer into minutes of single-threaded plan rewriting
+        # (measured: 400 s driver-side on a 5 k-doc input).  Here every
+        # subtree appears exactly once.
+        band_structs = []
+        for b in range(bands):
+            mins = [
+                F.array_min(
+                    F.transform(F.col("_sh"), perm(b * rows_per_band + r))
+                )
+                for r in range(rows_per_band)
+            ]
+            band_structs.append(
+                F.struct(
+                    F.lit(b).alias("band"), F.xxhash64(*mins).alias("bucket")
+                )
+            )
+        banded = shingled.select(
+            "_id", F.explode(F.array(*band_structs)).alias("bb")
+        ).select("_id", "bb.band", "bb.bucket")
 
     left = banded.alias("l")
     right = banded.alias("r")
@@ -232,6 +322,8 @@ def minhash_lsh_dedup(
     max_iter: int = 10,
     checkpoint_dir: str | None = None,
     check_every: int = 2,
+    driver_cc_max_edges: int = 500_000,
+    engine: str = "arrow",
 ) -> DataFrame:
     """Drop near-duplicates: keep the min-id representative per component.
 
@@ -240,9 +332,17 @@ def minhash_lsh_dedup(
     verify threshold; mismatched banding floods the Jaccard verifier
     with quadratic false candidates.
 
-    Connected components over verified duplicate pairs via iterative
-    min-label propagation (converges in O(log n) rounds; each round is
-    one join + one aggregate — no driver-side loops over rows).
+    Connected components over verified duplicate pairs.  The edge set
+    (VERIFIED near-dup pairs — two longs each, already shrunk by LSH +
+    the Jaccard gate, typically orders of magnitude smaller than the
+    corpus) is counted once after materializing; at or below
+    ``driver_cc_max_edges`` (default 500k ~ 8 MB) components are solved
+    with a driver-side union-find in O(E a(E)) — one job instead of
+    O(diameter) join+checkpoint rounds, each of which costs a fixed
+    ~0.5-1 s of scheduling regardless of size.  Above the bound, the
+    distributed path: iterative min-label propagation (converges in
+    O(log n) rounds; each round is one join + one aggregate — never a
+    driver-side loop over an unbounded edge list).
 
     Cluster safety: each round's labels are materialized through a
     checkpoint to truncate lineage (otherwise the plan doubles per
@@ -266,19 +366,57 @@ def minhash_lsh_dedup(
     def ckpt(frame: DataFrame) -> DataFrame:
         return frame.checkpoint() if checkpoint_dir else frame.localCheckpoint()
 
+    # whf MUST be persisted even though only sh_df is read downstream:
+    # the cache boundary makes _wh a bound attribute, blocking the
+    # projection-collapse inlining documented in hashed_word_frame
+    # (O(W^2) per doc without it)
     whf = hashed_word_frame(df, text_col, id_col).persist()
     sh_df = whf.select(
         "_id", window_hash_expr(F.col("_wh"), shingle_n).alias("_sh")
     ).persist()
     cand = minhash_lsh_candidates(
-        df, text_col, id_col, num_hashes, bands, shingle_n, sh_df=sh_df
+        df, text_col, id_col, num_hashes, bands, shingle_n, sh_df=sh_df,
+        engine=engine,
     )
     edges = ngram_jaccard_pairs(
         df, cand, text_col, id_col, shingle_n, threshold, sh_df=sh_df
-    )
+    ).persist()
 
-    # undirected edges as both directions; materialize ONCE — the loop
-    # below must not re-run LSH + Jaccard verification per iteration
+    # materialize the verified edge set ONCE — neither CC path may
+    # re-run LSH + Jaccard verification
+    n_edges = edges.count()
+    if n_edges <= driver_cc_max_edges:
+        try:
+            # union-find with min-id roots: identical keep-set to the
+            # min-label fixed point below
+            parent: dict = {}
+
+            def find(x):
+                r = x
+                while parent.get(r, r) != r:
+                    r = parent[r]
+                while parent.get(x, x) != x:  # path compression
+                    parent[x], x = r, parent[x]
+                return r
+
+            for row in edges.select("id_a", "id_b").toLocalIterator():
+                ra, rb = find(row[0]), find(row[1])
+                if ra != rb:
+                    lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                    parent[hi] = lo
+            dropped = [(x,) for x in parent if find(x) != x]
+            if not dropped:
+                return df
+            drop = df.sparkSession.createDataFrame(
+                dropped, f"{id_col} {dict(df.dtypes)[id_col]}"
+            )
+            return df.join(drop, id_col, "left_anti")
+        finally:
+            edges.unpersist()
+            sh_df.unpersist()
+            whf.unpersist()
+
+    # undirected edges as both directions
     fwd = edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     rev = edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
     adj = fwd.unionByName(rev).persist()
@@ -327,6 +465,7 @@ def minhash_lsh_dedup(
         return df.join(drop, id_col, "left_anti")
     finally:
         adj.unpersist()
+        edges.unpersist()
         sh_df.unpersist()
         whf.unpersist()
 

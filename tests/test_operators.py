@@ -79,10 +79,59 @@ def test_minhash_lsh_dedup_removes_cluster(spark, docs):
     assert 4 in ids and 5 in ids  # distinct docs kept
 
 
+def test_minhash_engines_agree(spark, docs):
+    """The Arrow numpy banding and the pure-expression seeded-xxhash64
+    banding are different hash families but must converge to the same
+    final keep-set: candidates are always verified by exact Jaccard, so
+    the engines may only differ in (harmless) false candidates."""
+    kw = dict(num_hashes=32, bands=16, shingle_n=3, threshold=0.5)
+    via_arrow = sorted(
+        r.doc_id for r in minhash_lsh_dedup(docs, engine="arrow", **kw).collect()
+    )
+    via_expr = sorted(
+        r.doc_id for r in minhash_lsh_dedup(docs, engine="expr", **kw).collect()
+    )
+    assert via_arrow == via_expr
+    assert 1 not in via_arrow  # the planted dup is actually dropped
+
+
+def test_minhash_dedup_cc_paths_agree(spark, docs):
+    """The driver union-find (small edge sets) and the distributed
+    min-label loop (driver_cc_max_edges=0 forces it) must produce the
+    same keep-set — including on a duplicate CHAIN (A~B~C, diameter 2)
+    where single-hop propagation would under-merge."""
+    rows = [
+        (i, f"unique{i}a document{i} about topic{i} mentioning w{i}x w{i}y w{i}z")
+        for i in range(20)
+    ]
+    # chain: adjacent Jaccard 0.636, ends 0.385 — at threshold 0.5 the
+    # component {100,101,102} exists ONLY transitively (diameter 2)
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    w = base.split()
+    rows += [
+        (100, " ".join(w)),
+        (101, " ".join(w[2:] + ["mu", "nu"])),
+        (102, " ".join(w[4:] + ["mu", "nu", "xi", "om"])),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(num_hashes=32, bands=16, shingle_n=2, threshold=0.5)
+    via_driver = sorted(
+        r.doc_id for r in minhash_lsh_dedup(df, **kw).collect()
+    )
+    via_loop = sorted(
+        r.doc_id
+        for r in minhash_lsh_dedup(df, driver_cc_max_edges=0, **kw).collect()
+    )
+    assert via_driver == via_loop
+    assert 100 in via_driver and 101 not in via_driver and 102 not in via_driver
+
+
 def test_minhash_dedup_cluster_checkpoint_dir(spark, docs, tmp_path):
     """checkpoint_dir switches localCheckpoint -> reliable checkpoint()
     (executor-death-safe on a cluster) with identical results; the
-    blocked convergence check (check_every) changes nothing either."""
+    blocked convergence check (check_every) changes nothing either.
+    driver_cc_max_edges=0 pins the distributed CC loop — the only path
+    that checkpoints."""
     import os
 
     ckdir = str(tmp_path / "ck")
@@ -96,7 +145,7 @@ def test_minhash_dedup_cluster_checkpoint_dir(spark, docs, tmp_path):
         r.doc_id
         for r in minhash_lsh_dedup(
             docs, num_hashes=32, bands=16, shingle_n=3, threshold=0.5,
-            checkpoint_dir=ckdir, check_every=3,
+            checkpoint_dir=ckdir, check_every=3, driver_cc_max_edges=0,
         ).collect()
     )
     assert with_ck == default
