@@ -8,8 +8,10 @@ everything above it (cdc/apply.py) a thin, portable planner:
 
 - **snapshot isolation / atomic commit**: a snapshot is an immutable
   JSON manifest (file list per bucket + schema + properties); the
-  current-snapshot pointer is flipped by an atomic ``os.rename``;
-  optimistic concurrency via parent-id check,
+  current-snapshot pointer is flipped atomically and manifests are
+  claimed create-if-absent — both primitives behind the ``FileIO``
+  seam (lake/fileio.py; POSIX default, S3-class strategy documented
+  there); optimistic concurrency via parent-id check,
 - **bucket layout**: rows are hash-distributed into N buckets by a key
   column (Iceberg ``bucket(N, url)``); MERGE rewrites only the buckets
   the source batch touches — at 100 TB this is the difference between
@@ -50,6 +52,8 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import StructType
+
+from .fileio import FileIO, PosixFileIO
 
 _WIDENINGS = {
     ("int", "bigint"),
@@ -168,36 +172,9 @@ def _footer_stats(md, stats_cols: list[str]) -> dict[str, list]:
     return out
 
 
-def _atomic_write(path: str, content: str) -> None:
-    tmp = f"{path}.tmp.{uuid.uuid4().hex}"
-    with open(tmp, "w") as f:
-        f.write(content)
-        f.flush()
-        os.fsync(f.fileno())
-    os.rename(tmp, path)  # POSIX-atomic pointer flip
-
-
-def _atomic_create(path: str, content: str) -> None:
-    """Atomically create ``path`` — FAILS if it already exists.
-
-    ``os.rename`` silently replaces, so an exists-check followed by a
-    rename is a TOCTOU race: two committers can both pass the check and
-    the second silently overwrites the first's manifest (found by the
-    concurrent-applier test).  ``os.link`` is the POSIX create-if-absent
-    primitive — exactly one of N racing committers wins; the rest get
-    ``FileExistsError`` -> ``CommitConflict``.
-    """
-    tmp = f"{path}.tmp.{uuid.uuid4().hex}"
-    with open(tmp, "w") as f:
-        f.write(content)
-        f.flush()
-        os.fsync(f.fileno())
-    try:
-        os.link(tmp, path)
-    except FileExistsError:
-        raise CommitConflict(f"manifest already exists: {path}") from None
-    finally:
-        os.remove(tmp)
+# The atomic create-if-absent / pointer-flip primitives live behind the
+# FileIO seam (lake/fileio.py): PosixFileIO is the default; the module
+# docstring there records the object-store (S3-class) strategy.
 
 
 class Table:
@@ -210,9 +187,12 @@ class Table:
         <path>/data/...parquet   immutable data files
     """
 
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(
+        self, spark: SparkSession, path: str, io: FileIO | None = None
+    ):
         self.spark = spark
         self.path = path
+        self.io = io or PosixFileIO()
         self.meta_dir = os.path.join(path, "_meta")
         self.data_dir = os.path.join(path, "data")
 
@@ -227,8 +207,9 @@ class Table:
         bucket_key: str,
         n_buckets: int,
         properties: dict[str, str] | None = None,
+        io: FileIO | None = None,
     ) -> "Table":
-        t = cls(spark, path)
+        t = cls(spark, path, io=io)
         os.makedirs(t.meta_dir, exist_ok=False)
         os.makedirs(t.data_dir, exist_ok=True)
         fields = [
@@ -251,9 +232,11 @@ class Table:
         return t
 
     @classmethod
-    def load(cls, spark: SparkSession, path: str) -> "Table":
-        t = cls(spark, path)
-        if not os.path.exists(os.path.join(t.meta_dir, "_current")):
+    def load(
+        cls, spark: SparkSession, path: str, io: FileIO | None = None
+    ) -> "Table":
+        t = cls(spark, path, io=io)
+        if not t.io.exists(os.path.join(t.meta_dir, "_current")):
             raise FileNotFoundError(f"not a lake table: {path}")
         return t
 
@@ -279,8 +262,7 @@ class Table:
         with _MANIFEST_CACHE_LOCK:
             ent = _MANIFEST_CACHE.get(path)
         if ent is None:
-            with open(path) as f:
-                ent = json.loads(f.read())
+            ent = json.loads(self.io.read_text(path))
             _manifest_cache_put(path, ent)
         return list(ent)
 
@@ -298,18 +280,17 @@ class Table:
         content = json.dumps(entries, sort_keys=True)
         ref = "m-" + hashlib.sha256(content.encode()).hexdigest()[:16] + ".json"
         path = os.path.join(self.manifest_dir, ref)
-        if not os.path.exists(path):
-            os.makedirs(self.manifest_dir, exist_ok=True)
+        if not self.io.exists(path):
+            self.io.makedirs(self.manifest_dir, exist_ok=True)
             try:
-                _atomic_create(path, content)
-            except CommitConflict:
+                self.io.create_if_absent(path, content)
+            except FileExistsError:
                 pass  # content-addressed: same name == same content
             _manifest_cache_put(path, entries)
         return ref
 
     def _read_snapshot_file(self, path: str) -> Snapshot:
-        with open(path) as f:
-            d = json.loads(f.read())
+        d = json.loads(self.io.read_text(path))
         d.pop("format", None)
         for key in ("buckets", "deltas"):
             m = d.get(key) or {}
@@ -321,8 +302,7 @@ class Table:
         return Snapshot(**d)
 
     def current_snapshot(self) -> Snapshot:
-        with open(os.path.join(self.meta_dir, "_current")) as f:
-            n = int(f.read().strip())
+        n = int(self.io.read_text(os.path.join(self.meta_dir, "_current")).strip())
         return self._read_snapshot_file(os.path.join(self.meta_dir, f"v{n}.json"))
 
     def snapshot_at(self, snapshot_id: int) -> Snapshot:
@@ -340,7 +320,7 @@ class Table:
     def _write_snapshot(self, snap: Snapshot) -> None:
         """Commit: atomic manifest create, parent check, pointer flip.
 
-        The manifest create (``_atomic_create``) is the linearization
+        The manifest create (``io.create_if_absent``) is the linearization
         point: exactly one committer can own snapshot id N.  The parent
         check before the pointer flip catches the remaining interleave
         (our parent was superseded while we linked) — the flip itself
@@ -369,8 +349,8 @@ class Table:
         }
         mpath = os.path.join(self.meta_dir, f"v{snap.snapshot_id}.json")
         try:
-            _atomic_create(mpath, json.dumps(doc, sort_keys=True))
-        except CommitConflict:
+            self.io.create_if_absent(mpath, json.dumps(doc, sort_keys=True))
+        except FileExistsError:
             # A manifest with our id already exists.  Either (a) a live
             # concurrent writer just created it and is about to flip the
             # pointer — lose the race, let _retry_commit re-read — or
@@ -381,15 +361,21 @@ class Table:
             # is distinguishable: its parent still IS the current
             # pointee (a live winner flips within the grace period).
             if not self._reap_orphan_manifest(mpath, snap.parent_id):
-                raise
-            _atomic_create(mpath, json.dumps(doc, sort_keys=True))
+                raise CommitConflict(
+                    f"manifest already exists: {mpath}"
+                ) from None
+            try:
+                self.io.create_if_absent(mpath, json.dumps(doc, sort_keys=True))
+            except FileExistsError:
+                raise CommitConflict(
+                    f"manifest already exists: {mpath}"
+                ) from None
         cur = os.path.join(self.meta_dir, "_current")
-        if os.path.exists(cur) and snap.parent_id is not None:
-            with open(cur) as f:
-                if int(f.read().strip()) != snap.parent_id:
-                    os.remove(mpath)
-                    raise CommitConflict("current snapshot moved during commit")
-        _atomic_write(cur, str(snap.snapshot_id))
+        if self.io.exists(cur) and snap.parent_id is not None:
+            if int(self.io.read_text(cur).strip()) != snap.parent_id:
+                self.io.delete(mpath)
+                raise CommitConflict("current snapshot moved during commit")
+        self.io.flip_pointer(cur, str(snap.snapshot_id))
 
     # grace before a pointer-less manifest is declared abandoned; long
     # enough that no live committer sits between manifest create and
@@ -406,16 +392,15 @@ class Table:
         back off.
         """
         try:
-            with open(mpath) as f:
-                other = json.loads(f.read())
+            other = json.loads(self.io.read_text(mpath))
             if other.get("parent_id") != parent_id:
                 return False
-            if time.time() - os.path.getmtime(mpath) < self.ORPHAN_GRACE_S:
+            if time.time() - self.io.mtime(mpath) < self.ORPHAN_GRACE_S:
                 return False
-            with open(os.path.join(self.meta_dir, "_current")) as f:
-                if parent_id is None or int(f.read().strip()) != parent_id:
-                    return False
-            os.remove(mpath)
+            cur = self.io.read_text(os.path.join(self.meta_dir, "_current"))
+            if parent_id is None or int(cur.strip()) != parent_id:
+                return False
+            self.io.delete(mpath)
             return True
         except OSError:
             return False
@@ -1424,15 +1409,14 @@ class Table:
         expired = []
         live: set[str] = set()
         live_refs: set[str] = set()
-        for fn in os.listdir(self.meta_dir):
+        for fn in self.io.list_dir(self.meta_dir):
             if not (fn.startswith("v") and fn.endswith(".json")):
                 continue
             sid = int(fn[1:-5])
             if sid < cutoff:
                 expired.append(fn)
                 continue
-            with open(os.path.join(self.meta_dir, fn)) as f:
-                raw = json.loads(f.read())
+            raw = json.loads(self.io.read_text(os.path.join(self.meta_dir, fn)))
             for key in ("buckets", "deltas"):
                 for v in (raw.get(key) or {}).values():
                     if isinstance(v, str):  # v2: shard ref
@@ -1442,7 +1426,7 @@ class Table:
                         entries = v
                     live |= {fi["path"] for fi in entries}
         for fn in expired:
-            os.remove(os.path.join(self.meta_dir, fn))
+            self.io.delete(os.path.join(self.meta_dir, fn))
         files_removed = self._sweep_unreferenced(live, orphan_min_age_s)
         # manifest shards referenced by no surviving snapshot (same
         # min-age guard: an in-flight commit's shards exist before the
@@ -1450,16 +1434,16 @@ class Table:
         shards_removed = 0
         if os.path.isdir(self.manifest_dir):
             now = time.time()
-            for fn in os.listdir(self.manifest_dir):
+            for fn in self.io.list_dir(self.manifest_dir):
                 p = os.path.join(self.manifest_dir, fn)
                 if fn in live_refs or not fn.endswith(".json"):
                     continue
                 if (
                     orphan_min_age_s
-                    and now - os.path.getmtime(p) < orphan_min_age_s
+                    and now - self.io.mtime(p) < orphan_min_age_s
                 ):
                     continue
-                os.remove(p)
+                self.io.delete(p)
                 _manifest_cache_drop(p)
                 shards_removed += 1
         return {

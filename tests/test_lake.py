@@ -384,3 +384,102 @@ def test_fresh_colliding_manifest_is_not_reaped(spark, tmp_root):
         t.append(kv_df(spark, [("b", 2)]))
     with open(orphan) as f:  # racer's manifest untouched
         assert json.load(f) == doc
+
+
+def test_fileio_seam_routes_all_commit_metadata(spark, tmp_root):
+    """Every metadata-protocol operation (manifest create-if-absent,
+    pointer flip, snapshot/manifest reads, expiry deletes) goes through
+    the Table's FileIO — the portability seam for object-store commits
+    (lake/fileio.py documents the S3-class strategy).  A recording
+    POSIX wrapper must observe the create->flip commit sequence and a
+    custom-io table must never fall back to the default io."""
+    from giraffe_etl_spark.lake.fileio import PosixFileIO
+    from pyspark.sql.types import StructType
+
+    class RecordingIO(PosixFileIO):
+        def __init__(self):
+            self.calls = []
+
+        def create_if_absent(self, path, content):
+            self.calls.append(("create", path))
+            super().create_if_absent(path, content)
+
+        def flip_pointer(self, path, content):
+            self.calls.append(("flip", path))
+            super().flip_pointer(path, content)
+
+        def read_text(self, path):
+            self.calls.append(("read", path))
+            return super().read_text(path)
+
+        def delete(self, path):
+            self.calls.append(("delete", path))
+            super().delete(path)
+
+    io = RecordingIO()
+    schema = StructType.fromDDL("k string, v long")
+    t = Table.create(
+        spark, os.path.join(tmp_root, "tio"), schema,
+        bucket_key="k", n_buckets=2, io=io,
+    )
+    t.append(kv_df(spark, [("a", 1), ("b", 2)]))
+    kinds = [k for k, _ in io.calls]
+    assert "create" in kinds and "flip" in kinds and "read" in kinds
+    # the commit orders create (linearization) BEFORE flip (publish)
+    snap_creates = [
+        i for i, (k, p) in enumerate(io.calls)
+        if k == "create" and "/v" in p and p.endswith(".json")
+    ]
+    flips = [i for i, (k, p) in enumerate(io.calls) if k == "flip"]
+    assert snap_creates and flips and min(snap_creates) < max(flips)
+
+    # load with the same io: reads route through it too
+    io2 = RecordingIO()
+    t2 = Table.load(spark, t.path, io=io2)
+    assert t2.read().count() == 2
+    assert any(k == "read" for k, _ in io2.calls)
+
+    # expiry deletes route through the io as well
+    t.append(kv_df(spark, [("c", 3)]))
+    before = len([k for k, _ in io.calls if k == "delete"])
+    t.expire_snapshots(keep_last=1, orphan_min_age_s=0)
+    assert len([k for k, _ in io.calls if k == "delete"]) > before
+
+
+def test_rollback_racing_commit_fails_fast(spark, tmp_root):
+    """Rollback is deliberately NOT retried (lake/table.py docstring):
+    losing the race means someone committed data between deciding to
+    roll back and the rollback landing, and silently retrying would
+    erase that commit unseen.  A racing append must surface
+    CommitConflict, leave the racer's commit intact, and a FRESH
+    rollback (made with the new state in view) must succeed."""
+    t = make_table(spark, tmp_root)
+    t.append(kv_df(spark, [("a", 1)]))
+    good = t.current_snapshot().snapshot_id
+    t.append(kv_df(spark, [("bad", 99)]))
+
+    racer = Table.load(spark, t.path)
+    orig = t.current_snapshot
+    fired = {"done": False}
+
+    def hooked():
+        snap = orig()
+        if not fired["done"]:
+            fired["done"] = True
+            racer.append(kv_df(spark, [("race", 7)]))  # concurrent commit
+        return snap
+
+    t.current_snapshot = hooked
+    try:
+        with pytest.raises(CommitConflict):
+            t.rollback(good)
+    finally:
+        t.current_snapshot = orig
+
+    # the racer's commit survived untouched
+    got = {(r.k, r.v) for r in t.read().collect()}
+    assert ("race", 7) in got and ("bad", 99) in got
+
+    # a fresh rollback sees the new head and succeeds
+    t.rollback(good)
+    assert {(r.k, r.v) for r in t.read().collect()} == {("a", 1)}
