@@ -14,21 +14,26 @@ so the protocol's correctness argument is portable across stores; the
 POSIX implementation is the default and the only one shipped (the
 sandbox has no object store to test against).
 
-Object-store strategy (documented, not implemented):
+Object-store strategy (implemented by ``MemoryObjectStoreIO`` below,
+which emulates exactly these semantics so the whole commit/concurrency
+suite can run against them — see tests/test_fileio.py):
 
 - **create-if-absent**: S3 conditional PUT with ``If-None-Match: *``
   (generally available since 2024) or GCS ``x-goog-if-generation-match:
   0`` — both reject the PUT if the key exists, which is this primitive
   exactly.  Azure Blob: ``If-None-Match: *`` likewise.
 - **pointer flip**: a plain PUT is atomic per-object on all three
-  stores, which satisfies the no-torn-read requirement; the stronger
-  lost-update protection the POSIX impl gets for free from the
-  parent-id re-check under rename ordering should instead use a CAS
-  (read the pointer's ETag/generation, conditional PUT with
-  ``If-Match``) — or, as Iceberg production deployments do, move ONLY
-  the pointer into a catalog with compare-and-swap (DynamoDB item,
-  JDBC row, REST catalog) while manifests and data stay on the object
-  store.
+  stores, which satisfies the no-torn-read requirement.  It is also
+  sufficient for lost-update protection here because the pointer is
+  only ever flipped by the writer that WON the manifest
+  create-if-absent for that snapshot id, and a writer committing id
+  N+1 must first have observed the pointer at N — so at most one PUT
+  per value, ordered by the manifest creates.  Deployments that want
+  belt-and-braces can instead CAS the pointer (``If-Match`` on the
+  ETag / GCS generation) or move ONLY the pointer into a catalog with
+  compare-and-swap (DynamoDB item, JDBC row, REST catalog) while
+  manifests and data stay on the object store — the seam admits that
+  by overriding ``flip_pointer`` alone.
 
 Data files are NOT routed through this seam: they are written by
 Spark's own writers via the Hadoop FileSystem for whatever scheme the
@@ -39,6 +44,8 @@ the metadata protocol needs the primitives above.
 from __future__ import annotations
 
 import os
+import threading
+import time
 import uuid
 
 
@@ -127,3 +134,88 @@ class PosixFileIO(FileIO):
 
     def mtime(self, path: str) -> float:
         return os.path.getmtime(path)
+
+
+class MemoryObjectStoreIO(FileIO):
+    """In-memory store exposing exactly the guarantees S3-class stores give.
+
+    The point of this class is to PROVE (under the concurrency test
+    suite) that the commit protocol needs nothing POSIX: no
+    directories, no rename, no link — only
+
+    - a conditional PUT that fails when the key already exists
+      (``If-None-Match: *``): ``create_if_absent`` takes the lock once,
+      checks, writes — the same atomicity the store's conditional
+      write gives;
+    - a plain atomic PUT for the pointer: ``flip_pointer`` replaces the
+      value in one assignment, so readers see old-or-new, never torn.
+
+    Directory semantics are emulated only as far as the ``Table``
+    metadata layer uses them: ``makedirs(exist_ok=False)`` is the
+    table-create exclusivity check (maps to a marker-object conditional
+    PUT on a real store), and ``list_dir`` lists immediate children by
+    key prefix (maps to LIST with ``delimiter=/``).  Data files never
+    route through this seam (they go via Spark's Hadoop FileSystem),
+    so a Table on this IO keeps its parquet on local disk while ALL
+    metadata — manifests, shards, the ``_current`` pointer — lives in
+    the object store.
+    """
+
+    def __init__(self) -> None:
+        self._lock = threading.Lock()
+        self._objects: dict[str, tuple[str, float]] = {}
+        self._dirs: set[str] = set()
+
+    def create_if_absent(self, path: str, content: str) -> None:
+        with self._lock:
+            if path in self._objects:
+                raise FileExistsError(path)
+            self._objects[path] = (content, time.time())
+
+    def flip_pointer(self, path: str, content: str) -> None:
+        with self._lock:
+            self._objects[path] = (content, time.time())
+
+    def read_text(self, path: str) -> str:
+        with self._lock:
+            try:
+                return self._objects[path][0]
+            except KeyError:
+                raise FileNotFoundError(path) from None
+
+    def exists(self, path: str) -> bool:
+        with self._lock:
+            return path in self._objects or path in self._dirs
+
+    def delete(self, path: str) -> None:
+        with self._lock:
+            try:
+                del self._objects[path]
+            except KeyError:
+                raise FileNotFoundError(path) from None
+
+    def list_dir(self, path: str) -> list[str]:
+        prefix = path.rstrip("/") + "/"
+        with self._lock:
+            children = set()
+            for key in self._objects:
+                if key.startswith(prefix):
+                    children.add(key[len(prefix):].split("/", 1)[0])
+            for key in self._dirs:
+                if key.startswith(prefix):
+                    children.add(key[len(prefix):].split("/", 1)[0])
+            return sorted(children)
+
+    def makedirs(self, path: str, exist_ok: bool = True) -> None:
+        path = path.rstrip("/")
+        with self._lock:
+            if not exist_ok and path in self._dirs:
+                raise FileExistsError(path)
+            self._dirs.add(path)
+
+    def mtime(self, path: str) -> float:
+        with self._lock:
+            try:
+                return self._objects[path][1]
+            except KeyError:
+                raise FileNotFoundError(path) from None

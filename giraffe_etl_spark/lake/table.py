@@ -210,7 +210,10 @@ class Table:
         io: FileIO | None = None,
     ) -> "Table":
         t = cls(spark, path, io=io)
-        os.makedirs(t.meta_dir, exist_ok=False)
+        # Metadata exclusivity goes through the FileIO seam (a marker
+        # conditional-PUT on object stores); the data dir stays a real
+        # local/Hadoop path because Spark's writers own it.
+        t.io.makedirs(t.meta_dir, exist_ok=False)
         os.makedirs(t.data_dir, exist_ok=True)
         fields = [
             {"id": i + 1, "name": f.name, "type": f.dataType.simpleString()}
@@ -1432,7 +1435,7 @@ class Table:
         # min-age guard: an in-flight commit's shards exist before the
         # snapshot JSON that references them)
         shards_removed = 0
-        if os.path.isdir(self.manifest_dir):
+        if self.io.exists(self.manifest_dir):
             now = time.time()
             for fn in self.io.list_dir(self.manifest_dir):
                 p = os.path.join(self.manifest_dir, fn)
