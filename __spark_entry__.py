@@ -299,6 +299,11 @@ def oracle_sql() -> dict[str, str]:
         # SAME oracle proves content-preservation, not just row counts
         "cdc_follow_replica": _cdc_replay_sql(),
         "cdc_rescale_replay": _cdc_replay_sql(),
+        # evolution detour (add/rename/widen/drop mid-stream) and the
+        # object-store-metadata replay must both be content-exact, so
+        # they share the plain replay's oracle too
+        "cdc_evolution_replay": _cdc_replay_sql(),
+        "cdc_object_store_replay": _cdc_replay_sql(),
         "cdc_point_lookup": _cdc_point_lookup_sql(),
         # rollback to the post-batch-1 snapshot == a replay that never
         # saw batch 2 (lsn % 3 == 2)

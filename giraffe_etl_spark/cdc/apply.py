@@ -70,7 +70,7 @@ def pages_internal_schema(extra: str = "") -> StructType:
 
 
 def create_pages_table(
-    spark: SparkSession, path: str, n_buckets: int = 32
+    spark: SparkSession, path: str, n_buckets: int = 32, io=None
 ) -> Table:
     return Table.create(
         spark,
@@ -78,6 +78,7 @@ def create_pages_table(
         pages_internal_schema(),
         bucket_key="url",
         n_buckets=n_buckets,
+        io=io,
         properties={
             # merge-on-read reconcile spec: winner per url by LWW on
             # (warc_ts, _lsn) — the same total order the merge uses
@@ -174,6 +175,7 @@ class CdcApplier:
         plan_sample: float = 0.02,
         plan_sample_mode: str = "auto",
         agg_fallback_entries: int = 1 << 20,
+        io=None,
     ):
         if plan_sample_mode not in ("auto", "range", "bernoulli"):
             raise ValueError(
@@ -294,9 +296,14 @@ class CdcApplier:
         # Column trees must never be shared across planning threads.
         self._exprs = batch_exprs(url_mode)
         self._exprs_quarantine = batch_exprs(url_mode)
+        # ``io``: metadata FileIO for every table this applier owns
+        # (pages + side tables).  None = POSIX; pass a
+        # MemoryObjectStoreIO (or an S3-class impl) to keep ALL commit
+        # metadata on object-store semantics — lake/fileio.py.
+        self._io = io
         pages_path = os.path.join(root, "pages")
-        if Table.exists(pages_path):
-            self.pages = Table.load(spark, pages_path)
+        if Table.exists(pages_path, io=io):
+            self.pages = Table.load(spark, pages_path, io=io)
             if self.merge_mode == "mor":
                 p = self.pages.properties
                 if not (p.get("merge.key") and p.get("merge.order")):
@@ -309,16 +316,17 @@ class CdcApplier:
                         }
                     )
         else:
-            self.pages = create_pages_table(spark, pages_path, n_buckets)
+            self.pages = create_pages_table(spark, pages_path, n_buckets, io=io)
         self.quarantine = self._side_table("quarantine", QUARANTINE_SCHEMA, "url")
         self.metrics = self._side_table("metrics", METRICS_SCHEMA, "stream_id")
 
     def _side_table(self, name: str, ddl: str, key: str) -> Table:
         path = os.path.join(self.root, name)
-        if Table.exists(path):
-            return Table.load(self.spark, path)
+        if Table.exists(path, io=self._io):
+            return Table.load(self.spark, path, io=self._io)
         return Table.create(
-            self.spark, path, StructType.fromDDL(ddl), bucket_key=key, n_buckets=4
+            self.spark, path, StructType.fromDDL(ddl), bucket_key=key,
+            n_buckets=4, io=self._io,
         )
 
     # ---- offset log -------------------------------------------------------

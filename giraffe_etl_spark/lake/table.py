@@ -244,8 +244,10 @@ class Table:
         return t
 
     @staticmethod
-    def exists(path: str) -> bool:
-        return os.path.exists(os.path.join(path, "_meta", "_current"))
+    def exists(path: str, io: FileIO | None = None) -> bool:
+        return (io or PosixFileIO()).exists(
+            os.path.join(path, "_meta", "_current")
+        )
 
     # ---- snapshot plumbing ----------------------------------------------
 
@@ -1195,6 +1197,16 @@ class Table:
 
     # ---- schema evolution ----------------------------------------------------
 
+    @staticmethod
+    def _canon_type(spark_type: str) -> str:
+        """Canonical DDL name via Spark's parser (``long`` -> ``bigint``).
+
+        Evolution stores type strings in the schema registry and the
+        widening whitelist compares them literally, so synonyms the DDL
+        grammar accepts must collapse to one spelling on the way in.
+        """
+        return StructType.fromDDL(f"c {spark_type}")[0].dataType.simpleString()
+
     def _evolve(self, mutate, props_update=None) -> Snapshot:
         def compose(b: Snapshot) -> Snapshot:
             # re-derive from the (possibly fresh) base so a retry sees
@@ -1211,6 +1223,8 @@ class Table:
         return self._retry_commit(compose, self.current_snapshot())
 
     def add_column(self, name: str, spark_type: str) -> Snapshot:
+        spark_type = self._canon_type(spark_type)
+
         def mutate(fields, base):
             if any(f["name"] == name for f in fields):
                 raise ValueError(f"column exists: {name}")
@@ -1236,6 +1250,8 @@ class Table:
         return self._evolve(mutate)
 
     def widen_column(self, name: str, new_type: str) -> Snapshot:
+        new_type = self._canon_type(new_type)
+
         def mutate(fields, base):
             hit = [f for f in fields if f["name"] == name]
             if not hit:

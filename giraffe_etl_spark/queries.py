@@ -601,6 +601,71 @@ def cdc_rescale_replay(spark, sf_dir):
     )
 
 
+def cdc_evolution_replay(spark, sf_dir):
+    """Schema evolution mid-stream: add, rename, widen, drop — content-exact.
+
+    Applies batch 0, then walks the table through every supported
+    evolution kind (add two columns, rename one, widen the other
+    int→long), applies batch 1 against the evolved schema (the
+    id-mapped readers span pre- and post-evolution file vintages),
+    drops both added columns (metadata-only; the retired field ids are
+    never reused), and applies batch 2.  The public projection is
+    untouched by the detour, so the final state must hash-match the
+    same oracle as ``cdc_replay_synthetic`` — evolution is proven to
+    never perturb content.
+    """
+    import tempfile
+
+    from .cdc import CdcApplier, read_pages
+
+    root = tempfile.mkdtemp(prefix="cdc_evolve_")
+    changes = cdc_changes_from_events(spark, sf_dir)
+    applier = CdcApplier(spark, root, n_buckets=8)
+    applier.apply_batch(changes.filter(F.col("lsn") % 3 == 0), batch_id=0)
+    applier.pages.add_column("crawl_note", "string")
+    applier.pages.add_column("fetch_ms", "int")
+    applier.pages.rename_column("crawl_note", "note")
+    applier.pages.widen_column("fetch_ms", "long")
+    applier.apply_batch(changes.filter(F.col("lsn") % 3 == 1), batch_id=1)
+    applier.pages.drop_column("note")
+    applier.pages.drop_column("fetch_ms")
+    applier.apply_batch(changes.filter(F.col("lsn") % 3 == 2), batch_id=2)
+    return (
+        read_pages(applier.pages)
+        .select("url", "warc_ts", "text", "lang")
+        .orderBy("url")
+    )
+
+
+def cdc_object_store_replay(spark, sf_dir):
+    """The full replay with ALL commit metadata on object-store semantics.
+
+    Same 3-batch stream as ``cdc_replay_synthetic``, but every table
+    the applier owns (pages, quarantine, metrics) runs its snapshot
+    commits through ``MemoryObjectStoreIO`` — conditional-PUT
+    create-if-absent, atomic plain-PUT pointer flips, prefix LIST, no
+    POSIX rename/link anywhere in the metadata protocol
+    (lake/fileio.py).  Content must hash-match the POSIX replay's
+    oracle, proving the exactly-once commit path is portable to
+    S3-class stores, not merely documented as such.
+    """
+    import tempfile
+
+    from .cdc import CdcApplier, read_pages
+    from .lake.fileio import MemoryObjectStoreIO
+
+    root = tempfile.mkdtemp(prefix="cdc_objstore_")
+    changes = cdc_changes_from_events(spark, sf_dir)
+    applier = CdcApplier(spark, root, n_buckets=8, io=MemoryObjectStoreIO())
+    for b in range(3):
+        applier.apply_batch(changes.filter(F.col("lsn") % 3 == b), batch_id=b)
+    return (
+        read_pages(applier.pages)
+        .select("url", "warc_ts", "text", "lang")
+        .orderBy("url")
+    )
+
+
 def cdc_rollback_replay(spark, sf_dir):
     """Non-destructive rollback: the table time-travels to a prior state.
 
@@ -1132,6 +1197,8 @@ QUERIES = {
     "cdc_changelog_read": cdc_changelog_read,
     "cdc_follow_replica": cdc_follow_replica,
     "cdc_rescale_replay": cdc_rescale_replay,
+    "cdc_evolution_replay": cdc_evolution_replay,
+    "cdc_object_store_replay": cdc_object_store_replay,
     "cdc_point_lookup": cdc_point_lookup,
     "cdc_rollback_replay": cdc_rollback_replay,
     "minhash_dedup_documents": minhash_dedup_documents,

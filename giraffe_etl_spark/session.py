@@ -62,6 +62,20 @@ def get_spark(
         # matches a sane per-executor heap on a real cluster.
         # SPARK_DRIVER_MEM overrides.
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # Commit the whole heap at JVM start (-Xms = -Xmx) and touch
+        # every page once (AlwaysPreTouch): this hypervisor hands out
+        # fresh pages glacially, so an un-touched heap charges its
+        # page-zeroing to the FIRST big job that grows into it —
+        # measured ~5 s on the first 2M-event apply at local[4] (25.0 s
+        # cold vs 19.9 s warm; 20.9 vs 20.3 with pre-touch).  Paying it
+        # at startup moves an environment cost out of every job,
+        # matching a long-lived production driver's steady state.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-Xms" + os.environ.get("SPARK_DRIVER_MEM", "8g")
+            + " -XX:+AlwaysPreTouch "
+            + os.environ.get("SPARK_GRAFT_JVM_OPTS", ""),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
@@ -72,23 +86,24 @@ def get_spark(
     return spark
 
 
-def _ship_package(spark: SparkSession) -> None:
-    """Ship this package to executor Python workers (--py-files analog).
+def build_pyfiles_zip(dest: str | None = None) -> str:
+    """Build the deployable package zip for ``spark-submit --py-files``.
 
-    Builds a zip of giraffe_etl_spark once per session and registers it
-    with addPyFile, so pandas UDFs / mapInPandas closures resolve the
-    package on every worker regardless of the driver's cwd.  On a real
-    cluster this is `spark-submit --py-files engine.zip`; doing it
-    programmatically keeps single-process usage zero-config.
+    The zip contains ``giraffe_etl_spark/**/*.py`` rooted at the package
+    name, so both the driver (spark-submit prepends --py-files entries
+    to the driver's sys.path) and every executor Python worker can
+    ``import giraffe_etl_spark`` from it with no install step — the
+    north-rule deployment shape.  Idempotent per destination path.
     """
     import zipfile
 
-    if getattr(spark, "_giraffe_shipped", False):
-        return
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
-    zpath = os.path.join(tempfile.gettempdir(), f"giraffe_etl_spark_{os.getpid()}.zip")
+    zpath = dest or os.path.join(
+        tempfile.gettempdir(), f"giraffe_etl_spark_{os.getpid()}.zip"
+    )
     if not os.path.exists(zpath):
-        with zipfile.ZipFile(zpath, "w") as z:
+        tmp = f"{zpath}.building.{os.getpid()}"
+        with zipfile.ZipFile(tmp, "w") as z:
             for root, _dirs, files in os.walk(pkg_dir):
                 if "__pycache__" in root:
                     continue
@@ -97,5 +112,21 @@ def _ship_package(spark: SparkSession) -> None:
                         full = os.path.join(root, fn)
                         rel = os.path.relpath(full, os.path.dirname(pkg_dir))
                         z.write(full, rel)
-    spark.sparkContext.addPyFile(zpath)
+        os.replace(tmp, zpath)
+    return zpath
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Ship this package to executor Python workers (--py-files analog).
+
+    Builds the zip once per session and registers it with addPyFile, so
+    pandas UDFs / mapInPandas closures resolve the package on every
+    worker regardless of the driver's cwd.  On a real cluster this is
+    `spark-submit --py-files engine.zip` (tested end-to-end in
+    tests/test_submit.py); doing it programmatically keeps
+    single-process usage zero-config.
+    """
+    if getattr(spark, "_giraffe_shipped", False):
+        return
+    spark.sparkContext.addPyFile(build_pyfiles_zip())
     spark._giraffe_shipped = True
