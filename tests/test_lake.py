@@ -135,6 +135,18 @@ def test_schema_widen_column(spark, tmp_root):
         t.widen_column("k", "bigint")
 
 
+def test_schema_type_names_canonicalized(spark, tmp_root):
+    """DDL synonyms ("long"/"bigint") must collapse before whitelist checks."""
+    schema = StructType.fromDDL("k string, n int")
+    t = Table.create(
+        spark, os.path.join(tmp_root, "syn"), schema, bucket_key="k", n_buckets=2
+    )
+    t.widen_column("n", "long")  # synonym of bigint — must be accepted
+    t.add_column("m", "integer")  # synonym of int — stored canonically...
+    t.widen_column("m", "bigint")  # ...so the whitelist ("int","bigint") hits
+    assert dict(t.read().dtypes) == {"k": "string", "n": "bigint", "m": "bigint"}
+
+
 def test_mixed_schema_files_union(spark, tmp_root):
     """Files written before AND after evolution read under one schema."""
     t = make_table(spark, tmp_root)
