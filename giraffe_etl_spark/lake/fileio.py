@@ -75,6 +75,36 @@ class FileIO:
     def delete(self, path: str) -> None:
         raise NotImplementedError
 
+    def delete_if_matches(self, path: str, content: str) -> bool:
+        """Delete ``path`` only if its current content equals ``content``.
+
+        Returns True iff the delete happened.  This is the
+        owner-checked delete the commit protocol uses everywhere a
+        writer removes a manifest it believes it created (conflict
+        cleanup) or believes is an abandoned orphan (reaping): the
+        manifest doc embeds a per-attempt ``writer_nonce``, so two
+        writers' docs for the same snapshot id are never byte-equal,
+        and a compare-then-delete can never destroy a manifest that
+        was re-created by someone else in between.
+
+        The default implementation is read-compare-delete.  On POSIX
+        that leaves a one-syscall window between compare and unlink;
+        it is acceptable there because the only racer that could slip
+        in must itself first delete the path (create_if_absent fails
+        on an existing file), making our delete a FileNotFoundError,
+        not a wrong-victim delete.  Object stores should override with
+        a conditional delete (S3 ``DeleteObject`` + ``If-Match`` ETag,
+        GCS ``if-generation-match``) to close even that window — see
+        ``MemoryObjectStoreIO``.
+        """
+        try:
+            if self.read_text(path) != content:
+                return False
+            self.delete(path)
+            return True
+        except (FileNotFoundError, OSError):
+            return False
+
     def list_dir(self, path: str) -> list[str]:
         raise NotImplementedError
 
@@ -193,6 +223,18 @@ class MemoryObjectStoreIO(FileIO):
                 del self._objects[path]
             except KeyError:
                 raise FileNotFoundError(path) from None
+
+    def delete_if_matches(self, path: str, content: str) -> bool:
+        # Atomic compare-and-delete under the store lock — the
+        # semantics of S3 DeleteObject with If-Match (ETag) or GCS
+        # delete with if-generation-match: no window at all between
+        # the compare and the delete.
+        with self._lock:
+            ent = self._objects.get(path)
+            if ent is None or ent[0] != content:
+                return False
+            del self._objects[path]
+            return True
 
     def list_dir(self, path: str) -> list[str]:
         prefix = path.rstrip("/") + "/"

@@ -297,6 +297,7 @@ class Table:
     def _read_snapshot_file(self, path: str) -> Snapshot:
         d = json.loads(self.io.read_text(path))
         d.pop("format", None)
+        d.pop("writer_nonce", None)
         for key in ("buckets", "deltas"):
             m = d.get(key) or {}
             # v2 stores shard refs (str); v1 stored the lists inline
@@ -336,9 +337,21 @@ class Table:
         (``_store_manifest``): the snapshot JSON itself is O(buckets)
         regardless of file count, and an untouched bucket's shard is
         shared with the parent snapshot by reference.
+
+        Every delete of ``v{N}.json`` on the failure paths is
+        OWNER-CHECKED via ``io.delete_if_matches`` against the exact
+        bytes this attempt wrote: the doc embeds a per-attempt
+        ``writer_nonce`` so no two attempts ever serialize to the same
+        bytes.  Without this, a writer stalled past ``ORPHAN_GRACE_S``
+        between manifest create and parent check could be reaped by a
+        second writer, resume, see the moved pointer, and blindly
+        delete the second writer's LIVE committed manifest — stranding
+        ``_current`` at a missing file (table corruption).  The nonce
+        guard turns that delete into a no-op.
         """
         doc = {
             "format": 2,
+            "writer_nonce": uuid.uuid4().hex,
             "snapshot_id": snap.snapshot_id,
             "parent_id": snap.parent_id,
             "schema_id": snap.schema_id,
@@ -353,8 +366,9 @@ class Table:
             "summary": snap.summary,
         }
         mpath = os.path.join(self.meta_dir, f"v{snap.snapshot_id}.json")
+        payload = json.dumps(doc, sort_keys=True)
         try:
-            self.io.create_if_absent(mpath, json.dumps(doc, sort_keys=True))
+            self.io.create_if_absent(mpath, payload)
         except FileExistsError:
             # A manifest with our id already exists.  Either (a) a live
             # concurrent writer just created it and is about to flip the
@@ -370,17 +384,30 @@ class Table:
                     f"manifest already exists: {mpath}"
                 ) from None
             try:
-                self.io.create_if_absent(mpath, json.dumps(doc, sort_keys=True))
+                self.io.create_if_absent(mpath, payload)
             except FileExistsError:
                 raise CommitConflict(
                     f"manifest already exists: {mpath}"
                 ) from None
+        self._park_for_test("post_create")
         cur = os.path.join(self.meta_dir, "_current")
         if self.io.exists(cur) and snap.parent_id is not None:
             if int(self.io.read_text(cur).strip()) != snap.parent_id:
-                self.io.delete(mpath)
+                # Owner-checked: delete ONLY the manifest these exact
+                # bytes created.  If we were reaped while stalled and
+                # the slot was re-won by another writer, this is a
+                # no-op and their committed manifest survives.
+                self.io.delete_if_matches(mpath, payload)
                 raise CommitConflict("current snapshot moved during commit")
         self.io.flip_pointer(cur, str(snap.snapshot_id))
+
+    def _park_for_test(self, point: str) -> None:
+        """Failure-injection seam: tests park a writer at a named point
+        (e.g. between manifest create and parent check) to exercise
+        stall races that are otherwise sub-millisecond windows."""
+        hook = getattr(self, "_test_park_hook", None)
+        if hook is not None:
+            hook(point)
 
     # grace before a pointer-less manifest is declared abandoned; long
     # enough that no live committer sits between manifest create and
@@ -394,10 +421,14 @@ class Table:
         parent (= the snapshot we read as current), the pointer still
         points at that parent (nobody flipped), and the file is older
         than the grace period.  Any other state means a live racer —
-        back off.
+        back off.  The delete itself is compare-and-delete against the
+        exact bytes we judged to be an orphan, so a manifest that was
+        concurrently reaped-and-recreated by a third writer (different
+        ``writer_nonce`` → different bytes) is never our victim.
         """
         try:
-            other = json.loads(self.io.read_text(mpath))
+            raw = self.io.read_text(mpath)
+            other = json.loads(raw)
             if other.get("parent_id") != parent_id:
                 return False
             if time.time() - self.io.mtime(mpath) < self.ORPHAN_GRACE_S:
@@ -405,8 +436,7 @@ class Table:
             cur = self.io.read_text(os.path.join(self.meta_dir, "_current"))
             if parent_id is None or int(cur.strip()) != parent_id:
                 return False
-            self.io.delete(mpath)
-            return True
+            return self.io.delete_if_matches(mpath, raw)
         except OSError:
             return False
 
