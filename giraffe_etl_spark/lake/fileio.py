@@ -63,7 +63,19 @@ class FileIO:
     def create_if_absent(self, path: str, content: str) -> None:
         raise NotImplementedError
 
-    def flip_pointer(self, path: str, content: str) -> None:
+    def flip_pointer(self, path: str, content: str, expected: str | None = None) -> None:
+        """Atomically replace ``path`` with ``content``.
+
+        ``expected`` is the pointer value the committing writer
+        believes is current (``None`` = the pointer must not exist
+        yet).  Plain-PUT implementations may IGNORE it — sufficient
+        because the manifest create-if-absent already linearizes
+        committers (see module docstring) — while catalog-backed
+        implementations honor it as a true compare-and-swap and raise
+        ``catalog_http.CasConflict`` on mismatch (converted to
+        ``CommitConflict`` by the commit path, which then retries
+        against the fresh snapshot).
+        """
         raise NotImplementedError
 
     def read_text(self, path: str) -> str:
@@ -138,7 +150,8 @@ class PosixFileIO(FileIO):
         finally:
             os.remove(tmp)
 
-    def flip_pointer(self, path: str, content: str) -> None:
+    def flip_pointer(self, path: str, content: str, expected: str | None = None) -> None:
+        # plain atomic PUT; ``expected`` ignored (see base docstring)
         tmp = f"{path}.tmp.{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
             f.write(content)
@@ -202,7 +215,8 @@ class MemoryObjectStoreIO(FileIO):
                 raise FileExistsError(path)
             self._objects[path] = (content, time.time())
 
-    def flip_pointer(self, path: str, content: str) -> None:
+    def flip_pointer(self, path: str, content: str, expected: str | None = None) -> None:
+        # plain atomic PUT; ``expected`` ignored (see base docstring)
         with self._lock:
             self._objects[path] = (content, time.time())
 

@@ -54,6 +54,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import StructType
 
 from .fileio import FileIO, PosixFileIO
+from .catalog_http import CasConflict
 
 _WIDENINGS = {
     ("int", "bigint"),
@@ -108,6 +109,7 @@ class Snapshot:
     def from_json(s: str) -> "Snapshot":
         d = json.loads(s)
         d.pop("format", None)
+        d.pop("writer_nonce", None)
         return Snapshot(**d)
 
 
@@ -399,7 +401,19 @@ class Table:
                 # no-op and their committed manifest survives.
                 self.io.delete_if_matches(mpath, payload)
                 raise CommitConflict("current snapshot moved during commit")
-        self.io.flip_pointer(cur, str(snap.snapshot_id))
+        self._park_for_test("pre_flip")
+        expected = None if snap.parent_id is None else str(snap.parent_id)
+        try:
+            self.io.flip_pointer(cur, str(snap.snapshot_id), expected=expected)
+        except CasConflict:
+            # catalog-backed IO: the flip itself is a compare-and-swap
+            # and it lost — same cleanup + retry contract as the
+            # parent-check conflict above (owner-checked delete, then
+            # let _retry_commit re-read and re-compose)
+            self.io.delete_if_matches(mpath, payload)
+            raise CommitConflict(
+                "pointer CAS rejected by catalog during commit"
+            ) from None
 
     def _park_for_test(self, point: str) -> None:
         """Failure-injection seam: tests park a writer at a named point

@@ -416,9 +416,9 @@ def test_fileio_seam_routes_all_commit_metadata(spark, tmp_root):
             self.calls.append(("create", path))
             super().create_if_absent(path, content)
 
-        def flip_pointer(self, path, content):
+        def flip_pointer(self, path, content, expected=None):
             self.calls.append(("flip", path))
-            super().flip_pointer(path, content)
+            super().flip_pointer(path, content, expected=expected)
 
         def read_text(self, path):
             self.calls.append(("read", path))
