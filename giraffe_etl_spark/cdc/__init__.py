@@ -2,6 +2,7 @@ from .convert import FieldSpec, convert_typed, split_conversion_errors
 from .apply import (
     BatchRaced,
     CdcApplier,
+    MaintenancePolicy,
     create_pages_table,
     read_pages,
     seed_pages,
@@ -14,6 +15,7 @@ from .replay import ReplayReport, replay
 __all__ = [
     "BatchRaced",
     "CdcApplier",
+    "MaintenancePolicy",
     "ChangelogFollower",
     "ResyncRequired",
     "FieldSpec",

@@ -106,6 +106,34 @@ def read_pages(table: Table) -> DataFrame:
     return df.filter(~F.col("_deleted")).select(*keep)
 
 
+@dataclass
+class MaintenancePolicy:
+    """Self-maintenance cadence for a long-running apply loop.
+
+    A real table service compacts deltas and expires history on its
+    own; a 10^10-event replay must too, or read-time reconcile cost and
+    metadata size grow without bound.  Cadences key off the BATCH ID
+    (deterministic, so a kill-resume replay makes the same maintenance
+    decisions it would have made uninterrupted — idempotent like the
+    batches themselves).
+
+    ``compact_every``: batches between delta-compaction sweeps
+    (buckets above ``max_delta_files`` delta files are folded into
+    base).  ``expire_every``: batches between snapshot-expiry sweeps
+    keeping ``keep_last`` snapshots per table.  Either cadence can be
+    None to disable that sweep.  Maintenance runs OUTSIDE the timed
+    apply (replay/stream call ``maintain`` after the commit), so batch
+    latency metrics stay comparable.
+    """
+
+    compact_every: int | None = 8
+    max_delta_files: int = 8
+    expire_every: int | None = 16
+    keep_last: int = 12
+    orphan_min_age_s: float = 3600.0
+    include_side_tables: bool = True
+
+
 class BatchRaced(Exception):
     """A concurrent applier committed this batch id during our commit.
 
@@ -176,7 +204,21 @@ class CdcApplier:
         plan_sample_mode: str = "auto",
         agg_fallback_entries: int = 1 << 20,
         io=None,
+        maintenance: MaintenancePolicy | None = None,
+        harvest_every: int = 8,
     ):
+        self.maintenance = maintenance
+        # adaptive planning: refresh the harvested skew profile every
+        # this many batches.  The harvest adds a full-partition count
+        # frame to the dedup window, which disables Spark's
+        # WindowGroupLimit streaming optimization for that one batch
+        # (measured ~15% on the merge job), so it is sampled in TIME:
+        # steady-state batches plan from the cached profile at zero
+        # cost and at most 1/harvest_every of batches pay the refresh.
+        # Skew-drift detection latency is bounded by harvest_every
+        # batches; a drifted profile costs only un-salted (correct,
+        # slower) batches in that window.
+        self.harvest_every = max(1, int(harvest_every))
         if plan_sample_mode not in ("auto", "range", "bernoulli"):
             raise ValueError(
                 f"plan_sample_mode must be 'auto', 'range' or 'bernoulli': "
@@ -186,9 +228,10 @@ class CdcApplier:
             raise ValueError(f"materialize must be 'keys' or 'batch': {materialize!r}")
         if merge_mode not in ("mor", "cow"):
             raise ValueError(f"merge_mode must be 'mor' or 'cow': {merge_mode!r}")
-        if planning not in ("auto", "scan", "sample"):
+        if planning not in ("auto", "scan", "sample", "adaptive"):
             raise ValueError(
-                f"planning must be 'auto', 'scan' or 'sample': {planning!r}"
+                f"planning must be 'auto', 'scan', 'sample' or 'adaptive': "
+                f"{planning!r}"
             )
         # AQE has nothing to decide on the apply path — partition counts
         # are pinned (the aligned exchange MUST be exactly n_buckets),
@@ -245,7 +288,24 @@ class CdcApplier:
         #   (thousands at 10^8-event batches).  With a PINNED small
         #   threshold the fraction is raised to keep >= ~24 expected
         #   samples per hot key.
-        # - "auto" (default): "sample" for the mor + window + keys
+        # - "adaptive": the plan comes from the PREVIOUS batch of the
+        #   same stream — every window-mode merge harvests exact
+        #   per-key event counts via an Observation riding the dedup
+        #   window itself (dedup_winners_window(with_counts=True): a
+        #   full-partition count frame on the already-sorted rows, no
+        #   exchange, no job), and the next batch salts from those
+        #   statistics.  Hot keys are stored as FRACTIONS of the batch
+        #   so the decision is scale-invariant across batch sizes.  A
+        #   cold start (no statistics yet — fresh process over a fresh
+        #   table) falls back to one "sample" pass; every steady-state
+        #   batch runs ZERO planning jobs.  This is the micro-batch
+        #   analog of AQE's runtime statistics reuse: a CDC stream is
+        #   stationary at batch granularity, so last batch's skew
+        #   profile is the right prior, and a drifted profile costs at
+        #   most one un-salted (correct, just slower) batch before the
+        #   harvest catches up.  Statistics persist in the table's
+        #   snapshot properties, so a resumed process stays warm.
+        # - "auto" (default): "adaptive" for the mor + window + keys
         #   shape (where the commit can derive the plan), "scan"
         #   otherwise (cow must declare its buckets up front;
         #   rank_join/batch modes reuse the exact aggregate).
@@ -319,6 +379,12 @@ class CdcApplier:
             self.pages = create_pages_table(spark, pages_path, n_buckets, io=io)
         self.quarantine = self._side_table("quarantine", QUARANTINE_SCHEMA, "url")
         self.metrics = self._side_table("metrics", METRICS_SCHEMA, "stream_id")
+        # adaptive planning statistics (fractions-of-batch hot keys +
+        # last batch's exact valid count), harvested by each merge and
+        # restored from the table's snapshot properties on restart
+        self._plan_stats: dict | None = (
+            self._load_plan_stats() if self._harvest_enabled() else None
+        )
 
     def _side_table(self, name: str, ddl: str, key: str) -> Table:
         path = os.path.join(self.root, name)
@@ -335,6 +401,36 @@ class CdcApplier:
         return int(
             self.pages.properties.get(f"stream.{self.stream_id}.last_batch", "-1")
         )
+
+    # ---- self-maintenance ---------------------------------------------------
+
+    def maintain(self, batch_id: int) -> dict:
+        """Run due maintenance after ``batch_id`` committed.
+
+        Driven by ``self.maintenance`` (a ``MaintenancePolicy``; None =
+        caller manages maintenance explicitly).  Cadences are a pure
+        function of the batch id, so a resumed replay repeats the same
+        schedule.  Returns what ran (empty dict = nothing due).
+        """
+        pol = self.maintenance
+        if pol is None:
+            return {}
+        out: dict = {}
+        if pol.compact_every and (batch_id + 1) % pol.compact_every == 0:
+            out["compacted_buckets"] = self.pages.compact_deltas(
+                max_delta_files=pol.max_delta_files
+            )
+        if pol.expire_every and (batch_id + 1) % pol.expire_every == 0:
+            tables = [("pages", self.pages)]
+            if pol.include_side_tables:
+                tables += [("quarantine", self.quarantine),
+                           ("metrics", self.metrics)]
+            for name, t in tables:
+                out[f"{name}_expired"] = t.expire_snapshots(
+                    keep_last=pol.keep_last,
+                    orphan_min_age_s=pol.orphan_min_age_s,
+                )
+        return out
 
     # ---- the apply ---------------------------------------------------------
 
@@ -577,6 +673,23 @@ class CdcApplier:
                 bucket_counts = None
                 n_changes = 0
                 phases["plan_collect"] = 0
+            elif sampled and self._harvest_enabled() and self._plan_stats is not None:
+                # adaptive steady state: ZERO planning jobs.  The skew
+                # profile comes from the previous batch's harvest (hot
+                # keys as batch fractions — scale-invariant), the valid
+                # count estimate is last batch's exact count, and this
+                # batch's exact count rides the merge observation.  A
+                # drifted profile costs at most one un-salted batch;
+                # the harvest below catches up on the very next one.
+                stats = self._plan_stats
+                stats["age"] = int(stats.get("age", 0)) + 1
+                n_valid = int(stats["n_valid"])
+                hot_candidates = [
+                    (int(frac * n_valid), url) for frac, url in stats["hot"]
+                ]
+                bucket_counts = None
+                n_changes = 0
+                phases["plan_collect"] = 0
             elif sampled:
                 # one tiny aggregate over a Bernoulli sample: estimated
                 # valid-event total (feeds the auto skew threshold) and
@@ -630,6 +743,18 @@ class CdcApplier:
                 ]
                 bucket_counts = None
                 n_changes = 0  # exact count rides the merge observation
+                if self._harvest_enabled() and n_valid > 0:
+                    # cold start seeds the adaptive profile from the
+                    # sample estimates; subsequent batches plan from it
+                    # with no jobs at all, refreshed by the exact
+                    # harvest every ``harvest_every`` batches
+                    self._plan_stats = {
+                        "n_valid": n_valid,
+                        "hot": [
+                            (ev / n_valid, url) for ev, url in hot_candidates
+                        ],
+                        "age": 0,
+                    }
                 t_o = time.monotonic()
                 phases["plan_collect"] = int((t_o - t_p) * 1000)
             else:
@@ -687,6 +812,7 @@ class CdcApplier:
 
             n_hot = 0
             aligned = False
+            obs_h = None
             if self.dedup_mode == "window":
                 threshold = self._resolve_hot_threshold(n_valid)
                 hot_list = []
@@ -713,7 +839,46 @@ class CdcApplier:
                         self.pages.n_buckets(), F.col("url")
                     )
                     aligned = True
-                winners = dedup_winners_window(valid, hot_keys=hot_list or None)
+                harvest = (
+                    sampled
+                    and self._harvest_enabled()
+                    and self._plan_stats is not None
+                    and int(self._plan_stats.get("age", 0)) >= self.harvest_every
+                )
+                winners = dedup_winners_window(
+                    valid, hot_keys=hot_list or None, with_counts=harvest
+                )
+                obs_h = None
+                if harvest:
+                    # next-batch skew statistics ride THIS merge job:
+                    # ``_events`` (exact per-key counts, computed on
+                    # the dedup window's own partitions — no exchange,
+                    # no job) feeds an Observation that keeps the total
+                    # and the top-64 candidate keys above a floor.
+                    # The floor tracks the salting threshold so the
+                    # collect buffer stays tiny at any batch size.
+                    from pyspark.sql import Observation
+
+                    floor = max(_HOT_FLOOR // 4, (threshold or _HOT_FLOOR) // 4)
+                    obs_h = Observation()
+                    winners = winners.observe(
+                        obs_h,
+                        F.sum("_events").alias("n_valid"),
+                        F.count(F.lit(1)).alias("n_keys"),
+                        F.slice(
+                            F.sort_array(
+                                F.collect_list(
+                                    F.when(
+                                        F.col("_events") >= floor,
+                                        F.struct("_events", "url"),
+                                    )
+                                ),
+                                asc=False,
+                            ),
+                            1,
+                            64,
+                        ).alias("hot"),
+                    ).drop("_events")
             elif self.dedup_mode == "agg":
                 # ONE exchange total: apply_batch pinned shuffle
                 # partitions to n_buckets, so the aggregate's hash
@@ -787,6 +952,24 @@ class CdcApplier:
                     n_changes = int(obs_v.get["n_valid"]) + n_quar
                 except Exception:
                     n_changes = n_quar
+            if obs_h is not None:
+                # fold this batch's harvested skew profile into the
+                # adaptive statistics (instant: the merge job already
+                # ran, the observation is resolved)
+                try:
+                    row = obs_h.get
+                    nv = int(row["n_valid"] or 0)
+                    if nv > 0:
+                        self._plan_stats = {
+                            "n_valid": nv,
+                            "hot": [
+                                (t["_events"] / nv, t["url"])
+                                for t in (row["hot"] or [])
+                            ],
+                            "age": 0,
+                        }
+                except Exception:
+                    pass  # empty/collapsed plan: keep previous stats
             result.rows_in = n_changes
             result.rows_quarantined = int(n_quar)
             result.hot_keys_detected = n_hot
@@ -807,22 +990,51 @@ class CdcApplier:
                 cached_batch.unpersist()
 
     def _sampled_planning(self) -> bool:
-        """Whether this batch plans from a sample (see ``planning``)."""
+        """Whether this batch plans without a full scan (see ``planning``)."""
         shape_ok = (
             self.merge_mode == "mor"
             and self.dedup_mode in ("window", "agg")
             and self.materialize == "keys"
         )
-        if self.planning == "sample":
+        if self.planning in ("sample", "adaptive"):
             if not shape_ok:
                 raise ValueError(
-                    "planning='sample' requires merge_mode='mor', "
+                    f"planning={self.planning!r} requires merge_mode='mor', "
                     "dedup_mode='window' or 'agg', materialize='keys' "
                     "(cow must declare touched buckets up front; "
                     "rank_join/batch reuse the exact per-key aggregate)"
                 )
             return True
         return self.planning == "auto" and shape_ok
+
+    def _harvest_enabled(self) -> bool:
+        """Adaptive statistics ride the merge when the mode allows it."""
+        return (
+            self.planning in ("auto", "adaptive")
+            and self.dedup_mode == "window"
+            and self.merge_mode == "mor"
+            and self.materialize == "keys"
+        )
+
+    _PLAN_STATS_PROP_SUFFIX = "plan.stats"
+
+    def _plan_stats_prop(self) -> str:
+        return f"stream.{self.stream_id}.{self._PLAN_STATS_PROP_SUFFIX}"
+
+    def _load_plan_stats(self) -> dict | None:
+        """Restore harvested statistics from the table (resume-warm)."""
+        import json as _json
+
+        raw = self.pages.properties.get(self._plan_stats_prop())
+        if not raw:
+            return None
+        try:
+            d = _json.loads(raw)
+            return {"n_valid": int(d["n"]),
+                    "hot": [(float(f), u) for f, u in d["hot"]],
+                    "age": int(d.get("age", 0))}
+        except Exception:
+            return None
 
     def _plan_fraction(self) -> float:
         """Sample fraction: raised for pinned small thresholds so a hot
@@ -961,6 +1173,24 @@ class CdcApplier:
         }
         if lsn_range is not None:
             props[f"stream.{self.stream_id}.last_lsn"] = str(lsn_range[1])
+        if self._plan_stats is not None:
+            # persist the adaptive skew profile with the offset log so a
+            # resumed process plans warm (lags one batch: the commit
+            # carries the PREVIOUS harvest; this batch's own harvest
+            # resolves with the commit's write job) — a few hundred
+            # bytes per snapshot, top-64 keys
+            import json as _json
+
+            props[self._plan_stats_prop()] = _json.dumps(
+                {
+                    "n": self._plan_stats["n_valid"],
+                    "hot": [
+                        [round(f, 8), u] for f, u in self._plan_stats["hot"]
+                    ],
+                    "age": int(self._plan_stats.get("age", 0)),
+                },
+                separators=(",", ":"),
+            )
         return props
 
     def _delta_frame(self, src: DataFrame, snap) -> DataFrame:

@@ -243,6 +243,7 @@ def dedup_winners_window(
     valid: DataFrame,
     hot_keys=None,
     n_salts: int = 16,
+    with_counts: bool = False,
 ) -> DataFrame:
     """row_number() formulation with explicit hot-key salting.
 
@@ -256,6 +257,14 @@ def dedup_winners_window(
     stage harvests the list from its planning aggregate for free) or a
     DataFrame with a ``url`` column (broadcast semi/anti join — for
     callers using ``detect_hot_keys`` standalone).
+
+    ``with_counts``: winners additionally carry ``_events`` — the
+    key's exact event count in this batch.  It rides the SAME window
+    partitioning as the dedup itself (a full-partition count frame on
+    the already-sorted rows; in the salted path phase 1 counts per
+    (url, salt) and phase 2 sums the partials), so it adds no exchange
+    and no job — this is what lets the apply stage harvest next-batch
+    skew statistics from an Observation instead of a planning pass.
     """
     if isinstance(hot_keys, (list, tuple)) and not hot_keys:
         hot_keys = None
@@ -263,11 +272,17 @@ def dedup_winners_window(
         w = Window.partitionBy("url").orderBy(
             F.col("warc_ts").desc(), F.col("lsn").desc()
         )
-        return (
-            valid.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
-        )
+        out = valid.withColumn("_rn", F.row_number().over(w))
+        if with_counts:
+            out = out.withColumn(
+                "_events",
+                F.count(F.lit(1)).over(
+                    w.rowsBetween(
+                        Window.unboundedPreceding, Window.unboundedFollowing
+                    )
+                ),
+            )
+        return out.filter(F.col("_rn") == 1).drop("_rn")
 
     if isinstance(hot_keys, (list, tuple)):
         is_hot = F.col("url").isin(list(hot_keys))
@@ -280,29 +295,43 @@ def dedup_winners_window(
     w_cold = Window.partitionBy("url").orderBy(
         F.col("warc_ts").desc(), F.col("lsn").desc()
     )
-    cold_winners = (
-        cold.withColumn("_rn", F.row_number().over(w_cold))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-    )
+    cold_winners = cold.withColumn("_rn", F.row_number().over(w_cold))
+    if with_counts:
+        cold_winners = cold_winners.withColumn(
+            "_events",
+            F.count(F.lit(1)).over(
+                w_cold.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+        )
+    cold_winners = cold_winners.filter(F.col("_rn") == 1).drop("_rn")
 
     salted = marked.withColumn("_salt", F.pmod(F.hash("lsn"), F.lit(n_salts)))
     w1 = Window.partitionBy("url", "_salt").orderBy(
         F.col("warc_ts").desc(), F.col("lsn").desc()
     )
-    phase1 = (
-        salted.withColumn("_rn", F.row_number().over(w1))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn", "_salt")
-    )
+    phase1 = salted.withColumn("_rn", F.row_number().over(w1))
+    if with_counts:
+        phase1 = phase1.withColumn(
+            "_cnt",
+            F.count(F.lit(1)).over(
+                w1.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+            ),
+        )
+    phase1 = phase1.filter(F.col("_rn") == 1).drop("_rn", "_salt")
     w2 = Window.partitionBy("url").orderBy(
         F.col("warc_ts").desc(), F.col("lsn").desc()
     )
-    hot_winners = (
-        phase1.withColumn("_rn", F.row_number().over(w2))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-    )
+    hot_winners = phase1.withColumn("_rn", F.row_number().over(w2))
+    if with_counts:
+        hot_winners = hot_winners.withColumn(
+            "_events",
+            F.sum("_cnt").over(
+                w2.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+            ),
+        ).drop("_cnt")
+    hot_winners = hot_winners.filter(F.col("_rn") == 1).drop("_rn")
     return cold_winners.unionByName(hot_winners)
 
 

@@ -65,6 +65,10 @@ def replay(
         batch = src(spark, cfg, lo, hi)
         res = applier.apply_batch(batch, batch_id=b, lsn_range=(lo * 3, hi * 3 - 1))
         results.append(res)
+        # self-maintenance (no-op unless the applier carries a
+        # MaintenancePolicy); runs AFTER the commit so apply_batch's
+        # timed region stays pure apply work
+        applier.maintain(b)
         done += 1
         if max_batches is not None and done >= max_batches:
             break

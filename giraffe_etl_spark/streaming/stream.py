@@ -51,6 +51,7 @@ def start_apply_stream(
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
         applier.apply_batch(batch_df, batch_id=int(epoch_id))
+        applier.maintain(int(epoch_id))
 
     writer = (
         changes.writeStream.foreachBatch(handle)

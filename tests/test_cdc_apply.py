@@ -337,3 +337,101 @@ def test_quarantine_thread_is_joined_when_merge_fails(spark, tmp_root, monkeypat
     # joined-in-finally: the quarantine rows are already committed HERE,
     # not eventually
     assert a.quarantine.read().count() == n_bad
+
+
+# ---- adaptive planning (round-5: fold the plan into the merge) -------------
+
+
+def test_adaptive_steady_state_runs_zero_planning_jobs(spark, tmp_root):
+    """Batch 0 (cold start) pays the one sample pass; every later batch
+    plans from the previous batch's harvested statistics — its
+    plan_collect phase must be exactly 0 ms (no job, not just a fast
+    one) while results stay oracle-exact."""
+    cfg = ChangeGenConfig(n_keys=40, late_frac=0.05, dup_frac=0.02,
+                          malformed_frac=0.02)
+    changes = gen_changes(400, cfg)
+    a = CdcApplier(spark, tmp_root, n_buckets=4, planning="adaptive")
+    seed_pages(a.pages, spark.createDataFrame(gen_pages(40)))
+    r0 = a.apply_batch(spark_changes(spark, changes.iloc[:200]), batch_id=0)
+    assert a._plan_stats is not None and a._plan_stats["n_valid"] > 0
+    r1 = a.apply_batch(spark_changes(spark, changes.iloc[200:]), batch_id=1)
+    assert r1.phase_ms["plan_collect"] == 0, r1.phase_ms
+    assert r0.rows_in == 200 and r1.rows_in == 200  # exact counts kept
+    assert_matches_oracle(a, gen_pages(40), changes)
+
+
+def test_adaptive_salts_from_harvest_on_next_batch(spark, tmp_root):
+    """A skewed batch teaches the harvest; the NEXT batch salts without
+    any planning job.  (Reactive skew handling: batch 0 itself runs
+    unsalted when statistics are pinned-threshold cold... here cold
+    start samples, so batch 0 detects too — the assertion that matters
+    is batch 1 detecting WITH plan_collect == 0.)"""
+    cfg = ChangeGenConfig(n_keys=50, hot_frac=0.5, n_hot_keys=3)
+    changes = gen_changes(1000, cfg)
+    a = CdcApplier(
+        spark, tmp_root, n_buckets=8, planning="adaptive", hot_key_threshold=20
+    )
+    seed_pages(a.pages, spark.createDataFrame(gen_pages(50)))
+    a.apply_batch(spark_changes(spark, changes.iloc[:500]), batch_id=0)
+    res = a.apply_batch(spark_changes(spark, changes.iloc[500:]), batch_id=1)
+    assert res.phase_ms["plan_collect"] == 0
+    assert res.hot_keys_detected >= 3, "harvested stats must engage salting"
+    assert_matches_oracle(a, gen_pages(50), changes)
+
+
+def test_adaptive_stats_survive_process_restart(spark, tmp_root):
+    """The skew profile persists in snapshot properties with the offset
+    log: a fresh applier over the same root plans warm (no sample job
+    on its first batch)."""
+    cfg = ChangeGenConfig(n_keys=30, dup_frac=0.05)
+    changes = gen_changes(300, cfg)
+    a1 = CdcApplier(spark, tmp_root, n_buckets=4, planning="adaptive")
+    seed_pages(a1.pages, spark.createDataFrame(gen_pages(30)))
+    a1.apply_batch(spark_changes(spark, changes.iloc[:100]), batch_id=0)
+    a1.apply_batch(spark_changes(spark, changes.iloc[100:200]), batch_id=1)
+
+    a2 = CdcApplier(spark, tmp_root, n_buckets=4, planning="adaptive")
+    assert a2._plan_stats is not None, "stats must restore from the table"
+    r = a2.apply_batch(spark_changes(spark, changes.iloc[200:]), batch_id=2)
+    assert r.phase_ms["plan_collect"] == 0
+    assert_matches_oracle(a2, gen_pages(30), changes)
+
+
+def test_adaptive_matches_scan_planning(spark, tmp_root):
+    """Adaptive planning may never change an answer — replay the same
+    skewed stream under planning='scan' and planning='adaptive' and
+    require identical final tables (the sampled-vs-scan equivalence
+    test, extended to the harvest path)."""
+    from giraffe_etl_spark.cdc.replay import replay
+
+    cfg = ChangeGenConfig(n_keys=50, hot_frac=0.5, n_hot_keys=3,
+                          late_frac=0.1, dup_frac=0.05, malformed_frac=0.05)
+    s = CdcApplier(spark, tmp_root + "/scan", n_buckets=8, planning="scan",
+                   hot_key_threshold=20)
+    a = CdcApplier(spark, tmp_root + "/ada", n_buckets=8, planning="adaptive",
+                   hot_key_threshold=20)
+    for ap in (s, a):
+        seed_pages(ap.pages, spark.createDataFrame(gen_pages(50)))
+        replay(ap, spark, n_events=600, batch_size=200, cfg=cfg)
+    pd.testing.assert_frame_equal(final_table(s), final_table(a))
+    assert_matches_oracle(a, gen_pages(50), gen_changes(600, cfg))
+
+
+def test_adaptive_harvest_refreshes_on_cadence(spark, tmp_root):
+    """The exact harvest is sampled in time: it runs only when the
+    cached profile's age reaches harvest_every, then resets it —
+    steady-state batches in between carry zero harvest cost."""
+    cfg = ChangeGenConfig(n_keys=20, dup_frac=0.05)
+    changes = gen_changes(300, cfg)
+    a = CdcApplier(
+        spark, tmp_root, n_buckets=4, planning="adaptive",
+        plan_sample=0.5, harvest_every=2,
+    )
+    seed_pages(a.pages, spark.createDataFrame(gen_pages(20)))
+    a.apply_batch(spark_changes(spark, changes.iloc[:100]), batch_id=0)
+    assert a._plan_stats["age"] == 0  # cold start seeded from the sample
+    a.apply_batch(spark_changes(spark, changes.iloc[100:200]), batch_id=1)
+    assert a._plan_stats["age"] == 1  # cached, no refresh yet
+    a.apply_batch(spark_changes(spark, changes.iloc[200:]), batch_id=2)
+    assert a._plan_stats["age"] == 0  # cadence hit: exact harvest ran
+    assert_matches_oracle(a, gen_pages(20), changes)
