@@ -586,6 +586,40 @@ def oracle_sql() -> dict[str, str]:
                         i -> ascii(substr(s, i, 1)) % 8 = 7)) AS BIGINT) END AS h7
             FROM m ORDER BY media_id
         """,
+        # real-codec round-trip: the Spark side ENCODES deterministic
+        # grayscale PNGs and DECODES them through the stdlib PNG codec
+        # (multimodal.png_decode: IHDR parse + IDAT inflate + defilter);
+        # the oracle recomputes width/height and the pixel-byte
+        # histogram from the doc_id formula alone, so a hash match
+        # proves the decoder read real pixel data
+        "media_png_decode": """
+            WITH m AS (
+              SELECT doc_id AS media_id,
+                     4 + doc_id % 13 AS w,
+                     3 + doc_id % 11 AS h
+              FROM documents WHERE doc_id < 120
+            )
+            SELECT media_id,
+                   CAST(w AS BIGINT) AS width,
+                   CAST(h AS BIGINT) AS height,
+                   CAST(len(list_filter(range(0, w*h),
+                        i -> (media_id + i) % 8 = 0)) AS BIGINT) AS h0,
+                   CAST(len(list_filter(range(0, w*h),
+                        i -> (media_id + i) % 8 = 1)) AS BIGINT) AS h1,
+                   CAST(len(list_filter(range(0, w*h),
+                        i -> (media_id + i) % 8 = 2)) AS BIGINT) AS h2,
+                   CAST(len(list_filter(range(0, w*h),
+                        i -> (media_id + i) % 8 = 3)) AS BIGINT) AS h3,
+                   CAST(len(list_filter(range(0, w*h),
+                        i -> (media_id + i) % 8 = 4)) AS BIGINT) AS h4,
+                   CAST(len(list_filter(range(0, w*h),
+                        i -> (media_id + i) % 8 = 5)) AS BIGINT) AS h5,
+                   CAST(len(list_filter(range(0, w*h),
+                        i -> (media_id + i) % 8 = 6)) AS BIGINT) AS h6,
+                   CAST(len(list_filter(range(0, w*h),
+                        i -> (media_id + i) % 8 = 7)) AS BIGINT) AS h7
+            FROM m ORDER BY media_id
+        """,
         "typed_convert_events": """
             WITH raw AS (
               SELECT event_id,

@@ -57,7 +57,109 @@ def _fake_decode(payload: bytes) -> dict:
     }
 
 
-set_decoder("image", _fake_decode)
+# ---- real codec: PNG (pure stdlib) -----------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def png_encode(width: int, height: int, pixels: bytes) -> bytes:
+    """Minimal valid grayscale-8 PNG writer (stdlib struct+zlib).
+
+    ``pixels``: ``width*height`` raw bytes, row-major.  Each scanline
+    gets filter byte 0 (None).  Exists so tests and the driver oracle
+    can round-trip real PNGs without any image library.
+    """
+    import struct
+    import zlib
+
+    if len(pixels) != width * height:
+        raise ValueError("pixels must be width*height bytes")
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + pixels[y * width:(y + 1) * width] for y in range(height)
+    )
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def png_decode(payload: bytes) -> dict:
+    """Real PNG decode: IHDR header parse + IDAT inflate + defilter.
+
+    Pure stdlib (struct + zlib).  Supports the subset ``png_encode``
+    emits — 8-bit grayscale, filter 0 scanlines — and raises on
+    anything else (signature mismatch, interlace, other filters), so a
+    non-PNG payload routes to the failure side like any codec error.
+    Returns the REAL width/height from the header and the 8-bin
+    normalized histogram over the decoded PIXEL bytes (not the
+    compressed container bytes) — proving the inflate+defilter path
+    ran, not just the header read.
+    """
+    import struct
+    import zlib
+
+    if not payload.startswith(_PNG_SIG):
+        raise ValueError("not a PNG")
+    pos = len(_PNG_SIG)
+    width = height = None
+    idat = b""
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos:pos + 4])
+        tag = payload[pos + 4:pos + 8]
+        body = payload[pos + 8:pos + 8 + length]
+        if tag == b"IHDR":
+            width, height, bit_depth, color_type, _, _, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if (bit_depth, color_type, interlace) != (8, 0, 0):
+                raise ValueError("unsupported PNG variant")
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + length  # len + tag + body + crc
+    if width is None:
+        raise ValueError("missing IHDR")
+    raw = zlib.decompress(idat)
+    stride = width + 1
+    if len(raw) != stride * height:
+        raise ValueError("bad IDAT length")
+    pixels = bytearray()
+    for y in range(height):
+        row = raw[y * stride:(y + 1) * stride]
+        if row[0] != 0:
+            raise ValueError("unsupported PNG filter")
+        pixels += row[1:]
+    hist = [0.0] * 8
+    for b in pixels:
+        hist[b % 8] += 1.0
+    total = float(len(pixels)) or 1.0
+    return {
+        "width": int(width),
+        "height": int(height),
+        "feature": [v / total for v in hist],
+    }
+
+
+def _image_decode(payload: bytes) -> dict:
+    """Default image codec: real PNG when the payload IS one, else the
+    deterministic fake (non-PNG blobs keep exercising the plumbing)."""
+    if payload.startswith(_PNG_SIG):
+        return png_decode(payload)
+    return _fake_decode(payload)
+
+
+set_decoder("image", _image_decode)
 set_decoder("audio", _fake_decode)
 set_decoder("video", _fake_decode)
 

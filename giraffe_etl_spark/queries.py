@@ -16,6 +16,8 @@ from __future__ import annotations
 
 import os
 
+import pandas as pd  # module-level: pandas_udf type hints resolve here
+
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 
@@ -928,6 +930,58 @@ def media_features(spark, sf_dir):
     ).orderBy("media_id")
 
 
+def media_png_decode(spark, sf_dir):
+    """REAL codec round-trip, oracle-checkable end to end.
+
+    Deterministic grayscale PNGs are encoded in an Arrow-batched pandas
+    UDF (width/height/pixel bytes are pure functions of ``doc_id``),
+    pushed through the SAME ``decode_features`` mapInPandas stage as
+    any media batch, and the decoder's outputs — header width/height
+    plus the 8-bin histogram over the inflated+defiltered PIXEL bytes
+    — are checked against a DuckDB oracle that recomputes them from
+    the doc_id formula alone.  A match proves the stdlib PNG decoder
+    (multimodal.png_decode) really parsed IHDR and decompressed IDAT,
+    not that it echoed its input.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    from .operators.multimodal import decode_features, png_encode
+
+    @pandas_udf("binary")
+    def make_png(media_id: pd.Series) -> pd.Series:
+        out = []
+        for mid in media_id:
+            mid = int(mid)
+            w, h = 4 + mid % 13, 3 + mid % 11
+            pixels = bytes((mid + i) % 256 for i in range(w * h))
+            out.append(png_encode(w, h, pixels))
+        return pd.Series(out)
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.filter(F.col("doc_id") < 120).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        make_png(F.col("doc_id")).alias("payload"),
+        F.lit(None)
+        .cast("struct<width:int,height:int,duration_ms:int,mime:string>")
+        .alias("meta"),
+    )
+    feats = decode_features(media)
+    n_px = F.col("width") * F.col("height")
+    hcols = [
+        F.round(F.element_at("feature", k + 1).cast("double") * n_px)
+        .cast("bigint")
+        .alias(f"h{k}")
+        for k in range(8)
+    ]
+    return feats.select(
+        "media_id",
+        F.col("width").cast("bigint").alias("width"),
+        F.col("height").cast("bigint").alias("height"),
+        *hcols,
+    ).orderBy("media_id")
+
+
 def typed_convert_events(spark, sf_dir):
     """importConversion analog: raw string stream -> typed + error capture.
 
@@ -1207,6 +1261,7 @@ QUERIES = {
     "lang_tag_documents": lang_tag_documents,
     "lang_vote_rollup": lang_vote_rollup,
     "media_features": media_features,
+    "media_png_decode": media_png_decode,
     "typed_convert_events": typed_convert_events,
     "weblog_parse_stats": weblog_parse_stats,
     "httpget_parse": httpget_parse,

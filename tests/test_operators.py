@@ -247,3 +247,59 @@ def test_multimodal_plumbing(spark):
     # determinism: same payload -> same feature
     again = decode_features(media).collect()
     assert [r.feature for r in again] == [r.feature for r in feats]
+
+
+# ---- real PNG codec (stdlib) ------------------------------------------------
+
+
+def test_png_roundtrip_pure():
+    from giraffe_etl_spark.operators.multimodal import png_decode, png_encode
+
+    w, h = 7, 5
+    pixels = bytes((3 + i) % 256 for i in range(w * h))
+    payload = png_encode(w, h, pixels)
+    assert payload.startswith(b"\x89PNG\r\n\x1a\n")
+    dec = png_decode(payload)
+    assert (dec["width"], dec["height"]) == (w, h)
+    # histogram over DECODED pixel bytes, normalized
+    want = [0] * 8
+    for b in pixels:
+        want[b % 8] += 1
+    got = [round(v * w * h) for v in dec["feature"]]
+    assert got == want
+
+
+def test_png_decode_rejects_non_png_and_variants():
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    from giraffe_etl_spark.operators.multimodal import png_decode, png_encode
+
+    with _pytest.raises(ValueError, match="not a PNG"):
+        png_decode(b"GIF89a....")
+    # corrupt the IHDR color type -> unsupported variant
+    good = bytearray(png_encode(2, 2, bytes(4)))
+    sig, ln = 8, 4
+    # IHDR body starts at sig + len + tag
+    ihdr_body = sig + 4 + 4
+    good[ihdr_body + 9] = 2  # color_type RGB
+    with _pytest.raises(ValueError, match="unsupported"):
+        png_decode(bytes(good))
+    # truncated IDAT -> zlib error surfaces as decode failure
+    with _pytest.raises(Exception):
+        png_decode(png_encode(2, 2, bytes(4))[:-20] + struct.pack(">I", 0))
+
+
+def test_image_decoder_dispatches_png_vs_fake():
+    from giraffe_etl_spark.operators.multimodal import (
+        _DECODERS,
+        png_encode,
+    )
+
+    img = _DECODERS["image"]
+    real = img(png_encode(3, 2, bytes(range(6))))
+    assert (real["width"], real["height"]) == (3, 2)
+    fake = img(b"\x20" + b"\x00" * 30 + b"\x30")  # not a PNG
+    assert fake["width"] == 16 + 0x20 % 64 and fake["height"] == 16 + 0x30 % 64
