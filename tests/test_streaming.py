@@ -129,3 +129,96 @@ def test_compact_tombstones_drops_old_deletes(spark, tmp_path):
     assert after.filter("_deleted").count() == 1
     # live rows untouched, public view unchanged
     assert read_pages(applier.pages).count() == 8
+
+
+def test_stream_killed_mid_epoch_between_commits_resumes(spark, roots):
+    """Round-4 verdict #4: kill a RUNNING start_apply_stream mid-epoch —
+    after the quarantine commit, before the pages commit (the crash
+    point the watermark design claims to survive) — restart from the
+    same checkpoint, and prove convergence to the oracle.
+
+    Injection: the applier's _merge raises on its second epoch.  The
+    quarantine route runs on a concurrent thread and is joined in
+    apply_batch's finally, so by the time the failure surfaces the
+    quarantine table HAS committed batch 1 while pages has not —
+    exactly the torn-commit state."""
+    import pandas as pd
+
+    from giraffe_etl_spark.cdc.oracle import oracle_quarantine
+
+    table_root, src_dir, ckpt = roots
+    n_pages, n_events = 30, 240
+    cfg = ChangeGenConfig(
+        n_keys=40, late_frac=0.05, dup_frac=0.01, malformed_frac=0.15
+    )
+    changes = gen_changes(n_events, cfg)
+    _write_chunks(spark, src_dir, changes, n_chunks=3)
+
+    a1 = CdcApplier(spark, table_root, n_buckets=4)
+    seed_pages(a1.pages, spark.createDataFrame(gen_pages(n_pages)))
+
+    real_merge = a1._merge
+    boom = RuntimeError("injected mid-epoch crash")
+
+    def failing_merge(staged, batch_id, lsn_range, phases, **kw):
+        if batch_id == 1:
+            raise boom
+        return real_merge(staged, batch_id, lsn_range, phases, **kw)
+
+    a1._merge = failing_merge
+    q1 = start_apply_stream(
+        read_change_stream(spark, src_dir, max_files_per_trigger=1), a1, ckpt
+    )
+    try:
+        q1.awaitTermination(300)
+    except Exception:
+        pass  # the injected failure terminates the query
+    assert q1.exception() is not None, "injected crash never fired"
+
+    # torn state: epoch 0 fully committed; epoch 1's quarantine commit
+    # landed (its thread is joined in apply_batch's finally) while the
+    # pages commit did not
+    assert a1.last_committed_batch() == 0
+    q_mark = int(a1.quarantine.properties.get("stream.default.last_batch", "-1"))
+    assert q_mark == 1
+
+    # restart: fresh applier (no injection), same checkpoint — epoch 1
+    # replays (pages watermark 0 < 1), its quarantine commit no-ops
+    # (watermark already 1), epoch 2 proceeds
+    a2 = CdcApplier(spark, table_root, n_buckets=4)
+    q2 = start_apply_stream(
+        read_change_stream(spark, src_dir, max_files_per_trigger=1), a2, ckpt
+    )
+    q2.awaitTermination(300)
+    assert q2.exception() is None
+    assert a2.last_committed_batch() == 2
+
+    got = (
+        read_pages(a2.pages)
+        .toPandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    want = (
+        oracle_apply(gen_pages(n_pages), changes)
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    assert got["url"].tolist() == want["url"].tolist()
+    assert got["text"].tolist() == want["text"].tolist()
+    assert got["lang"].tolist() == want["lang"].tolist()
+
+    # quarantine converged too — exactly once despite the replay
+    q_got = (
+        a2.quarantine.read()
+        .select("lsn", "reason")
+        .toPandas()
+        .sort_values("lsn")
+        .reset_index(drop=True)
+    )
+    q_want = (
+        oracle_quarantine(changes)[["lsn", "reason"]]
+        .sort_values("lsn")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(q_got, q_want)
