@@ -304,6 +304,10 @@ def oracle_sql() -> dict[str, str]:
         # they share the plain replay's oracle too
         "cdc_evolution_replay": _cdc_replay_sql(),
         "cdc_object_store_replay": _cdc_replay_sql(),
+        # maintenance (compaction+expiry mid-stream) and the external
+        # CAS catalog may never change content: same replay oracle
+        "cdc_maintained_replay": _cdc_replay_sql(),
+        "cdc_catalog_replay": _cdc_replay_sql(),
         "cdc_point_lookup": _cdc_point_lookup_sql(),
         # rollback to the post-batch-1 snapshot == a replay that never
         # saw batch 2 (lsn % 3 == 2)

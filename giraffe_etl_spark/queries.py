@@ -639,6 +639,76 @@ def cdc_evolution_replay(spark, sf_dir):
     )
 
 
+def cdc_maintained_replay(spark, sf_dir):
+    """The full replay with the self-maintenance policy ENGAGED.
+
+    Same 3-batch stream as ``cdc_replay_synthetic``, but the applier
+    carries an aggressive ``MaintenancePolicy`` (compact every batch,
+    expire after every 2, keep 3 snapshots) and the loop invokes
+    ``maintain`` after each commit — compaction folds deltas into base
+    and expiry drops history WHILE the stream is still applying.
+    Content must hash-match the plain replay's oracle: maintenance is
+    housekeeping, never semantics.
+    """
+    import tempfile
+
+    from .cdc import CdcApplier, MaintenancePolicy, read_pages
+
+    root = tempfile.mkdtemp(prefix="cdc_maint_")
+    changes = cdc_changes_from_events(spark, sf_dir)
+    applier = CdcApplier(
+        spark, root, n_buckets=8,
+        maintenance=MaintenancePolicy(
+            compact_every=1, max_delta_files=0,
+            expire_every=2, keep_last=3, orphan_min_age_s=0.0,
+        ),
+    )
+    for b in range(3):
+        applier.apply_batch(changes.filter(F.col("lsn") % 3 == b), batch_id=b)
+        applier.maintain(b)
+    return (
+        read_pages(applier.pages)
+        .select("url", "warc_ts", "text", "lang")
+        .orderBy("url")
+    )
+
+
+def cdc_catalog_replay(spark, sf_dir):
+    """The full replay with the ``_current`` pointer in an external
+    HTTP catalog process (compare-and-swap pointer flips).
+
+    Same 3-batch stream as ``cdc_replay_synthetic``; every commit of
+    every table the applier owns flips its pointer via a conditional
+    PUT against a separate catalog process (lake/catalog_http.py) —
+    the Iceberg-REST/DynamoDB deployment shape.  Content must
+    hash-match the plain replay's oracle.
+    """
+    import tempfile
+
+    from .cdc import CdcApplier, read_pages
+    from .lake import CatalogServer, HttpCatalogIO
+
+    root = tempfile.mkdtemp(prefix="cdc_catalog_")
+    changes = cdc_changes_from_events(spark, sf_dir)
+    with CatalogServer() as srv:
+        applier = CdcApplier(
+            spark, root, n_buckets=8, io=HttpCatalogIO(srv.url)
+        )
+        for b in range(3):
+            applier.apply_batch(
+                changes.filter(F.col("lsn") % 3 == b), batch_id=b
+            )
+        out = (
+            read_pages(applier.pages)
+            .select("url", "warc_ts", "text", "lang")
+            .orderBy("url")
+        )
+        # materialize before the catalog process stops (the driver
+        # collects lazily after return)
+        rows = out.collect()
+    return spark.createDataFrame(rows, out.schema)
+
+
 def cdc_object_store_replay(spark, sf_dir):
     """The full replay with ALL commit metadata on object-store semantics.
 
@@ -1253,6 +1323,8 @@ QUERIES = {
     "cdc_rescale_replay": cdc_rescale_replay,
     "cdc_evolution_replay": cdc_evolution_replay,
     "cdc_object_store_replay": cdc_object_store_replay,
+    "cdc_maintained_replay": cdc_maintained_replay,
+    "cdc_catalog_replay": cdc_catalog_replay,
     "cdc_point_lookup": cdc_point_lookup,
     "cdc_rollback_replay": cdc_rollback_replay,
     "minhash_dedup_documents": minhash_dedup_documents,
