@@ -312,6 +312,17 @@ def oracle_sql() -> dict[str, str]:
         # rollback to the post-batch-1 snapshot == a replay that never
         # saw batch 2 (lsn % 3 == 2)
         "cdc_rollback_replay": _cdc_replay_sql("AND lsn % 3 <> 2"),
+        # time travel reads the post-batch-1 snapshot (batches 0+1)
+        # AFTER batch 2 landed — same bounded-replay oracle as rollback
+        "cdc_time_travel": _cdc_replay_sql("AND lsn % 3 <> 2"),
+        # the column-pruned derived replica's rollup must equal the
+        # same aggregate over the full replay's final state
+        "cdc_derived_rollup": f"""
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_pages,
+                   max(warc_ts) AS latest_warc_ts
+            FROM ({_cdc_replay_sql()})
+            GROUP BY lang ORDER BY lang
+        """,
         "minhash_dedup_documents": """
             SELECT doc_id FROM documents
             UNION ALL

@@ -99,9 +99,16 @@ def seed_pages(table: Table, pages: DataFrame) -> None:
     table.append(df)
 
 
-def read_pages(table: Table) -> DataFrame:
-    """Public view: live rows only, engine columns hidden."""
-    df = table.read()
+def read_pages(table: Table, snap=None) -> DataFrame:
+    """Public view: live rows only, engine columns hidden.
+
+    ``snap``: optional time travel — read the table AS OF that
+    ``Snapshot`` (from ``table.snapshot_at``) instead of the head.
+    Same schema-id-aware, MOR-reconciled scan; snapshot isolation means
+    the historical state is byte-stable no matter how many commits,
+    compactions or evolutions landed since (until snapshot expiry).
+    """
+    df = table.read(snap)
     keep = [c for c in df.columns if c not in ENGINE_COLS]
     return df.filter(~F.col("_deleted")).select(*keep)
 

@@ -46,6 +46,7 @@ delta-append the applier uses.
 
 from __future__ import annotations
 
+import json as _json_mod
 import os
 
 from pyspark.sql import SparkSession
@@ -60,6 +61,9 @@ _PRESERVING_OPS = {"compact", "rescale", "metadata", "create"}
 _CURSOR_PROP = "follow.src_snapshot"
 #: persisted src-column-id -> dst-column-id map (schema mirroring)
 _IDMAP_PROP = "follow.idmap"
+#: persisted projection: the source column IDS this replica mirrors
+#: (absent = full mirror).  Ids, not names — rename-stable, like the idmap.
+_PROJ_PROP = "follow.projection"
 
 
 class ResyncRequired(Exception):
@@ -79,7 +83,24 @@ class ChangelogFollower:
         dst_path: str,
         n_buckets: int | None = None,
         compact_threshold: int = 16,
+        columns: list[str] | None = None,
     ):
+        """``columns``: optional payload projection — the replica mirrors
+        only these source columns (plus, always, the bucket key, the
+        ``merge.order`` columns and the engine columns), cutting sync
+        I/O and replica storage to the projected width.  A derived
+        table maintained this way stays O(changes) per sync like a full
+        replica, but a downstream rollup reads a table that is a tiny
+        fraction of the source's bytes (at 100 TB of html, a
+        url/warc_ts/lang projection is ~10^4x smaller).  The projection
+        is fixed at creation and persisted as source column IDS
+        (rename-stable): renames/widenings/drops of kept columns still
+        auto-propagate; source columns OUTSIDE the projection — present
+        at creation or added later — are ignored, including their
+        drops.  Loading an existing replica ignores the argument
+        (the persisted projection wins); passing a conflicting one
+        raises.
+        """
         self.spark = spark
         self.src = src
         # replica MOR maintenance: fold a bucket's deltas into its base
@@ -88,6 +109,7 @@ class ChangelogFollower:
         self.compact_threshold = compact_threshold
         if Table.exists(dst_path):
             self.dst = Table.load(spark, dst_path)
+            self._check_requested_projection(columns)
             if self.dst.properties.get(_CURSOR_PROP, self._BOOTSTRAPPING) == (
                 self._BOOTSTRAPPING
             ):
@@ -111,15 +133,71 @@ class ChangelogFollower:
             if k in ("merge.key", "merge.order", "stats.cols")
         }
         props[_CURSOR_PROP] = self._BOOTSTRAPPING
+        struct = src._current_struct(snap)
+        if columns is not None:
+            keep = self._resolve_projection(snap, columns)
+            props[_PROJ_PROP] = _json_mod.dumps(sorted(keep))
+            struct = type(struct)(
+                [f for f in struct.fields if f.name in {
+                    g["name"] for g in snap.schema_fields if g["id"] in keep
+                }]
+            )
+            # a projected replica must not claim stats columns it
+            # doesn't carry
+            stats = [
+                c for c in props.get("stats.cols", "").split(",")
+                if c and c in {f.name for f in struct.fields}
+            ]
+            if stats:
+                props["stats.cols"] = ",".join(stats)
+            else:
+                props.pop("stats.cols", None)
         self.dst = Table.create(
             spark,
             dst_path,
-            src._current_struct(snap),
+            struct,
             bucket_key=snap.properties["bucket.key"],
             n_buckets=n_buckets or int(snap.properties["bucket.count"]),
             properties=props,
         )
         self._bootstrap()
+
+    def _resolve_projection(self, src_snap, columns: list[str]) -> set[int]:
+        """Requested payload names -> kept source ids (plus required)."""
+        from .apply import ENGINE_COLS
+
+        by_name = {f["name"]: f["id"] for f in src_snap.schema_fields}
+        unknown = [c for c in columns if c not in by_name]
+        if unknown:
+            raise ValueError(f"projection names unknown source columns: {unknown}")
+        required = [src_snap.properties["bucket.key"]]
+        required += src_snap.properties.get("merge.order", "").split(",")
+        required += [c for c in ENGINE_COLS if c in by_name]
+        return {by_name[c] for c in (*required, *columns) if c in by_name}
+
+    def _projection(self) -> set[int] | None:
+        raw = self.dst.properties.get(_PROJ_PROP)
+        return set(_json_mod.loads(raw)) if raw else None
+
+    def _check_requested_projection(self, columns: list[str] | None) -> None:
+        """Loading an existing replica: the persisted projection wins,
+        but a CONFLICTING request must fail loudly, not silently serve
+        different columns than the caller asked for."""
+        if columns is None:
+            return
+        want = self._resolve_projection(self.src.current_snapshot(), columns)
+        have = self._projection()
+        if have is None or want != have:
+            raise ValueError(
+                "replica already exists with a different projection "
+                f"(stored src ids {sorted(have) if have else 'ALL'}, "
+                f"requested {sorted(want)})"
+            )
+
+    def _project_to_dst(self, df):
+        """Restrict a source-shaped frame to the replica's columns."""
+        names = [f["name"] for f in self.dst.current_snapshot().schema_fields]
+        return df.select(*names) if set(names) != set(df.columns) else df
 
     def _bootstrap(self) -> None:
         """Initial copy: reconciled current content, cursor set with it.
@@ -132,7 +210,7 @@ class ChangelogFollower:
         """
         snap = self.src.current_snapshot()
         self._evolve_dst_to_src(snap)
-        full = self.src.read(snap, reconcile=True)
+        full = self._project_to_dst(self.src.read(snap, reconcile=True))
         if full.take(1):
             self.dst.append_deltas(
                 None,
@@ -171,11 +249,16 @@ class ChangelogFollower:
         sync append writes src-shaped frames under the replica's
         current schema id, so a local extra would poison the scan.
         """
-        import json as _json
+        _json = _json_mod
 
         idmap: dict[str, int] = _json.loads(
             self.dst.properties.get(_IDMAP_PROP, "") or "{}"
         )
+        # projected replica: the evolution mirror sees ONLY the kept
+        # source ids — outside-projection adds/renames/drops are
+        # invisible by construction.  A kept column's drop removes it
+        # from the persisted projection too.
+        proj = self._projection()
         dst_fields = self.dst.current_snapshot().schema_fields
         dirty = False
         if not idmap:
@@ -189,9 +272,13 @@ class ChangelogFollower:
                 str(f["id"]): by_name[f["name"]]
                 for f in src_snap.schema_fields
                 if f["name"] in by_name
+                and (proj is None or f["id"] in proj)
             }
             dirty = True
-        src_fields = src_snap.schema_fields
+        src_fields = [
+            f for f in src_snap.schema_fields
+            if proj is None or f["id"] in proj
+        ]
         src_ids = {f["id"] for f in src_fields}
 
         def dst_by_id() -> dict:
@@ -205,6 +292,8 @@ class ChangelogFollower:
                 if hit is not None:
                     self.dst.drop_column(hit["name"])
                 del idmap[sid_s]
+                if proj is not None:
+                    proj.discard(int(sid_s))
                 dirty = True
         for f in src_fields:
             did = idmap.get(str(f["id"]))
@@ -252,7 +341,10 @@ class ChangelogFollower:
                 "drop them on the replica or re-bootstrap"
             )
         if dirty:
-            self.dst.set_properties({_IDMAP_PROP: _json.dumps(idmap)})
+            updates = {_IDMAP_PROP: _json.dumps(idmap)}
+            if proj is not None:
+                updates[_PROJ_PROP] = _json.dumps(sorted(proj))
+            self.dst.set_properties(updates)
 
     def sync(self) -> dict:
         """Apply all source commits since the cursor; returns a report."""
@@ -292,7 +384,9 @@ class ChangelogFollower:
             # nothing but preserving commits: advance the cursor only
             self.dst.set_properties({_CURSOR_PROP: str(head.snapshot_id)})
             return {"commits": 0, "files": 0, "src_snapshot": head.snapshot_id}
-        changes = self.src._scan(head, entries, with_bucket_col=False)
+        changes = self._project_to_dst(
+            self.src._scan(head, entries, with_bucket_col=False)
+        )
         # touched buckets derive from the committed manifest diff
         # (bucket_ids=None) — per-sync manifest metadata is O(touched
         # replica buckets), not O(all buckets)

@@ -811,6 +811,79 @@ def cdc_point_lookup(spark, sf_dir):
     )
 
 
+def cdc_time_travel(spark, sf_dir):
+    """Snapshot time travel: read the table AS OF an earlier commit.
+
+    Replays the same 3-batch stream as ``cdc_replay_synthetic``, then
+    reads the pages table as of the snapshot the BATCH-1 commit
+    produced — after batch 2 has already landed on top of it.  Snapshot
+    isolation makes the historical read byte-stable: the scan resolves
+    that snapshot's own manifest list and schema id, so later commits,
+    compactions and evolutions are invisible (the reference replays an
+    offset-bounded prefix to recover a past state — here it is one
+    pointer read + the same O(live files) scan, no replay;
+    libgiraffe2's offset log has no analog of this).  The DuckDB
+    oracle recomputes the LWW state over batches 0-1 only.
+    """
+    import tempfile
+
+    from .cdc import CdcApplier, read_pages
+
+    root = tempfile.mkdtemp(prefix="cdc_timetravel_")
+    changes = cdc_changes_from_events(spark, sf_dir)
+    applier = CdcApplier(spark, root, n_buckets=8)
+    snaps = []
+    for b in range(3):
+        applier.apply_batch(changes.filter(F.col("lsn") % 3 == b), batch_id=b)
+        snaps.append(applier.pages.current_snapshot().snapshot_id)
+    past = applier.pages.snapshot_at(snaps[1])
+    return (
+        read_pages(applier.pages, snap=past)
+        .select("url", "warc_ts", "text", "lang")
+        .orderBy("url")
+    )
+
+
+def cdc_derived_rollup(spark, sf_dir):
+    """Incremental view maintenance: rollup over a column-pruned replica.
+
+    A ``ChangelogFollower`` with ``columns=["lang"]`` maintains a
+    derived table carrying only (url, warc_ts, lang) + engine columns —
+    synced after every source batch with O(changes) I/O, never
+    re-reading the source's html/text payload (at 100 TB of html the
+    derived table is ~10^4x smaller than its source).  The returned
+    per-lang rollup (page count + latest crawl ts) aggregates the
+    derived table alone; the DuckDB oracle aggregates the full replay's
+    final state, so the hash match proves the pruned replica stayed
+    content-exact through inserts, updates, deletes and cross-batch
+    LWW — incremental maintenance equals recompute-from-scratch.
+    """
+    import tempfile
+
+    from .cdc import CdcApplier, ChangelogFollower, read_pages
+
+    root = tempfile.mkdtemp(prefix="cdc_deriv_src_")
+    replica = tempfile.mkdtemp(prefix="cdc_deriv_dst_")
+    changes = cdc_changes_from_events(spark, sf_dir)
+    applier = CdcApplier(spark, root, n_buckets=8)
+    follower = ChangelogFollower(
+        spark, applier.pages, replica + "/langs", n_buckets=4,
+        columns=["lang"],
+    )
+    for b in range(3):
+        applier.apply_batch(changes.filter(F.col("lsn") % 3 == b), batch_id=b)
+        follower.sync()
+    return (
+        read_pages(follower.dst)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.max("warc_ts").alias("latest_warc_ts"),
+        )
+        .orderBy("lang")
+    )
+
+
 def _planted_neardup_corpus(d: DataFrame) -> DataFrame:
     """Documents corpus with STRUCTURALLY planted near-dup clusters.
 
@@ -1327,6 +1400,8 @@ QUERIES = {
     "cdc_catalog_replay": cdc_catalog_replay,
     "cdc_point_lookup": cdc_point_lookup,
     "cdc_rollback_replay": cdc_rollback_replay,
+    "cdc_time_travel": cdc_time_travel,
+    "cdc_derived_rollup": cdc_derived_rollup,
     "minhash_dedup_documents": minhash_dedup_documents,
     "simhash_documents": simhash_documents,
     "embedding_neardup": embedding_neardup,

@@ -325,3 +325,107 @@ def test_follower_tails_through_full_evolution_replay(spark, tmp_root):
     assert set(read_pages(f.dst).columns) == {
         "url", "warc_ts", "html", "text", "lang",
     }
+
+
+# ---- column-pruned (projected) replicas -------------------------------------
+
+
+def _rows_cols(table, cols):
+    df = table.read(reconcile=True).select(*sorted(cols))
+    return sorted(tuple(r) for r in df.collect())
+
+
+PROJ_COLS = ["url", "warc_ts", "lang", "_lsn", "_deleted"]
+
+
+def test_projected_follower_tracks_kept_columns_only(
+    spark, tmp_root, src_applier
+):
+    """columns=["lang"] mirrors key+order+engine+lang and nothing else;
+    incremental syncs keep the projection content-equal to the source's
+    own projection (html/text never copied)."""
+    _apply(spark, src_applier, 0, 100, 0)
+    f = ChangelogFollower(
+        spark,
+        src_applier.pages,
+        os.path.join(tmp_root, "dst"),
+        n_buckets=4,
+        columns=["lang"],
+    )
+    assert set(f.dst.read().columns) == set(PROJ_COLS)
+    assert _rows_cols(f.dst, PROJ_COLS) == _rows_cols(
+        src_applier.pages, PROJ_COLS
+    )
+
+    _apply(spark, src_applier, 100, 200, 1)
+    _apply(spark, src_applier, 200, 300, 2)
+    f.sync()
+    assert set(f.dst.read().columns) == set(PROJ_COLS)
+    assert _rows_cols(f.dst, PROJ_COLS) == _rows_cols(
+        src_applier.pages, PROJ_COLS
+    )
+
+
+def test_projected_follower_evolution_scoped_to_projection(
+    spark, tmp_root, src_applier
+):
+    """Evolution mirror sees only kept ids: source adds are invisible,
+    renames of kept columns propagate, a kept column's drop shrinks the
+    projection and later syncs keep working."""
+    _apply(spark, src_applier, 0, 60, 0)
+    f = ChangelogFollower(
+        spark,
+        src_applier.pages,
+        os.path.join(tmp_root, "dst"),
+        columns=["lang"],
+    )
+
+    # source-side add is OUTSIDE the projection: never mirrored
+    src_applier.pages.add_column("fetch_status", "int")
+    _apply(spark, src_applier, 60, 120, 1)
+    f.sync()
+    assert "fetch_status" not in f.dst.read().columns
+
+    # rename of a kept column propagates by id (projection is id-based)
+    src_applier.pages.rename_column("lang", "language")
+    f.sync()
+    cols = f.dst.read().columns
+    assert "language" in cols and "lang" not in cols
+    kept = ["url", "warc_ts", "language", "_lsn", "_deleted"]
+    assert _rows_cols(f.dst, kept) == _rows_cols(src_applier.pages, kept)
+
+    # drop of a kept column propagates and leaves a working replica
+    src_applier.pages.drop_column("language")
+    _apply(spark, src_applier, 120, 180, 2)
+    f.sync()
+    rest = ["url", "warc_ts", "_lsn", "_deleted"]
+    assert set(f.dst.read().columns) == set(rest)
+    assert _rows_cols(f.dst, rest) == _rows_cols(src_applier.pages, rest)
+
+
+def test_projected_follower_reopen_checks_projection(
+    spark, tmp_root, src_applier
+):
+    _apply(spark, src_applier, 0, 60, 0)
+    path = os.path.join(tmp_root, "dst")
+    ChangelogFollower(spark, src_applier.pages, path, columns=["lang"])
+
+    # same projection: fine; omitted: persisted projection wins
+    f = ChangelogFollower(spark, src_applier.pages, path, columns=["lang"])
+    ChangelogFollower(spark, src_applier.pages, path)
+    # conflicting projection must refuse, not silently serve other cols
+    with pytest.raises(ValueError, match="different projection"):
+        ChangelogFollower(spark, src_applier.pages, path, columns=["text"])
+    # unknown name fails fast at creation time too
+    with pytest.raises(ValueError, match="unknown source columns"):
+        ChangelogFollower(
+            spark,
+            src_applier.pages,
+            os.path.join(tmp_root, "dst2"),
+            columns=["nope"],
+        )
+    _apply(spark, src_applier, 60, 120, 1)
+    f.sync()
+    assert _rows_cols(f.dst, PROJ_COLS) == _rows_cols(
+        src_applier.pages, PROJ_COLS
+    )
