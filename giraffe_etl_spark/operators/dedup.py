@@ -335,12 +335,12 @@ def minhash_lsh_dedup(
     Connected components over verified duplicate pairs.  The edge set
     (VERIFIED near-dup pairs — two longs each, already shrunk by LSH +
     the Jaccard gate, typically orders of magnitude smaller than the
-    corpus) is counted once after materializing; at or below
-    ``driver_cc_max_edges`` (default 500k ~ 8 MB) components are solved
-    with a driver-side union-find in O(E a(E)) — one job instead of
-    O(diameter) join+checkpoint rounds, each of which costs a fixed
-    ~0.5-1 s of scheduling regardless of size.  Above the bound, the
-    distributed path: iterative min-label propagation (converges in
+    corpus) is fetched with ONE bounded ``limit(max+1).collect()``; at
+    or below ``driver_cc_max_edges`` (default 500k ~ 8 MB) components
+    are solved with a driver-side union-find in O(E a(E)) — one job
+    instead of O(diameter) join+checkpoint rounds, each of which costs
+    a fixed ~0.5-1 s of scheduling regardless of size.  Above the
+    bound, the distributed path: iterative min-label propagation (converges in
     O(log n) rounds; each round is one join + one aggregate — never a
     driver-side loop over an unbounded edge list).
 
@@ -382,10 +382,14 @@ def minhash_lsh_dedup(
         df, cand, text_col, id_col, shingle_n, threshold, sh_df=sh_df
     ).persist()
 
-    # materialize the verified edge set ONCE — neither CC path may
-    # re-run LSH + Jaccard verification
-    n_edges = edges.count()
-    if n_edges <= driver_cc_max_edges:
+    # ONE bounded driver action decides the CC path AND fetches the
+    # small-case edges: limit(max+1).collect() replaces the old
+    # count()-then-toLocalIterator pair (two actions, the iterator
+    # paying a round trip per partition — measured ~1-2 s of pure
+    # scheduling at sf0.1).  The driver-side ceiling is unchanged:
+    # at most max+1 two-long rows (~8 MB) ever land on the driver.
+    head = edges.select("id_a", "id_b").limit(driver_cc_max_edges + 1).collect()
+    if len(head) <= driver_cc_max_edges:
         try:
             # union-find with min-id roots: identical keep-set to the
             # min-label fixed point below
@@ -399,7 +403,7 @@ def minhash_lsh_dedup(
                     parent[x], x = r, parent[x]
                 return r
 
-            for row in edges.select("id_a", "id_b").toLocalIterator():
+            for row in head:
                 ra, rb = find(row[0]), find(row[1])
                 if ra != rb:
                     lo, hi = (ra, rb) if ra < rb else (rb, ra)
