@@ -287,6 +287,61 @@ def _cdc_changelog_sql() -> str:
     """
 
 
+def _cdc_preimage_sql() -> str:
+    """DuckDB oracle for the batch-1 changelog WITH pre-images.
+
+    'after' = batch 1's within-batch LWW winners (same recomputation as
+    ``_cdc_changelog_sql``).  'before' = the prior reconciled winner of
+    every key batch 1 touched — i.e. batch 0's LWW winners (including
+    delete winners, which the table holds as tombstones) restricted to
+    batch 1's key set.  Keys first seen in batch 1 contribute no
+    'before' row.
+    """
+    from giraffe_etl_spark.queries import CDC_FILLERS
+
+    fillers = ", ".join(f"'{t}'" for _, t in CDC_FILLERS)
+    langs = ", ".join(f"'{code}'" for code, _ in CDC_FILLERS)
+    return f"""
+        WITH ch AS (
+          SELECT event_id AS lsn,
+                 'http://host' || CAST(user_id % 20 AS VARCHAR)
+                   || '.example.org/page/' || CAST(user_id AS VARCHAR) AS url,
+                 ts AS warc_ts,
+                 CASE WHEN event_id % 97 = 0 THEN 'X'
+                      WHEN event_id % 10 < 6 THEN 'I'
+                      WHEN event_id % 10 < 9 THEN 'U' ELSE 'D' END AS op,
+                 [{fillers}][CAST(user_id % 5 AS INTEGER) + 1] AS filler,
+                 [{langs}][CAST(user_id % 5 AS INTEGER) + 1] AS lang
+          FROM events),
+        b0w AS (
+          SELECT *, row_number() OVER (
+                     PARTITION BY url ORDER BY warc_ts DESC, lsn DESC) AS rn
+          FROM ch WHERE op <> 'X' AND lsn % 3 = 0),
+        b1w AS (
+          SELECT *, row_number() OVER (
+                     PARTITION BY url ORDER BY warc_ts DESC, lsn DESC) AS rn
+          FROM ch WHERE op <> 'X' AND lsn % 3 = 1),
+        halves AS (
+          SELECT url, warc_ts, lsn, (op = 'D') AS deleted,
+                 CASE WHEN op <> 'D' THEN
+                   'doc ' || CAST(lsn AS VARCHAR) || ' ' || url || ' '
+                     || filler || ' rev ' || CAST(lsn AS VARCHAR) END AS text,
+                 CASE WHEN op <> 'D' THEN lang END AS lang,
+                 'after' AS change_type
+          FROM b1w WHERE rn = 1
+          UNION ALL
+          SELECT url, warc_ts, lsn, (op = 'D') AS deleted,
+                 CASE WHEN op <> 'D' THEN
+                   'doc ' || CAST(lsn AS VARCHAR) || ' ' || url || ' '
+                     || filler || ' rev ' || CAST(lsn AS VARCHAR) END AS text,
+                 CASE WHEN op <> 'D' THEN lang END AS lang,
+                 'before' AS change_type
+          FROM b0w WHERE rn = 1
+            AND url IN (SELECT DISTINCT url FROM b1w))
+        SELECT * FROM halves ORDER BY url, change_type, lsn
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "cdc_changelog_read": _cdc_changelog_sql(),
@@ -312,6 +367,7 @@ def oracle_sql() -> dict[str, str]:
         # rollback to the post-batch-1 snapshot == a replay that never
         # saw batch 2 (lsn % 3 == 2)
         "cdc_rollback_replay": _cdc_replay_sql("AND lsn % 3 <> 2"),
+        "cdc_changelog_preimage": _cdc_preimage_sql(),
         # time travel reads the post-batch-1 snapshot (batches 0+1)
         # AFTER batch 2 landed — same bounded-replay oracle as rollback
         "cdc_time_travel": _cdc_replay_sql("AND lsn % 3 <> 2"),

@@ -1030,6 +1030,7 @@ class Table:
         to_snapshot_id: int | None = None,
         on_rewrite: str = "error",
         with_commit_col: bool = False,
+        with_pre_images: bool = False,
     ) -> DataFrame:
         """Incremental scan: rows ADDED by commits in (from, to].
 
@@ -1039,6 +1040,22 @@ class Table:
         ARE its change rows; plain appends are inserts), mapped onto the
         ``to`` snapshot's schema.  O(changed files) I/O — base files
         are never re-read.
+
+        ``with_pre_images=True`` additionally emits, tagged by a
+        ``_change_type`` column ('before'/'after'), the PRIOR
+        reconciled row version of every key the window touched — the
+        UPDATE_BEFORE half of an Iceberg-changelog-style feed, which
+        differential consumers need to retract old contributions
+        (decrement the old group, remove the old index entry) without
+        keeping their own copy of the table.  Pre-image I/O is bounded:
+        the ``from`` snapshot is read over the TOUCHED BUCKETS ONLY
+        (derived driver-side from the commits' manifest diffs),
+        left-semi joined to the window's key set, and remapped onto the
+        ``to`` schema by column id (renames/widenings/adds between the
+        two snapshots resolve like any schema-id-aware scan).  Keys
+        whose prior winner was a tombstone still emit it ('before' with
+        the tombstone flag set) — consumers that only want prior LIVE
+        rows filter on their deleted column.
 
         Rewrite commits (copy-on-write merge, ``compact_deltas``,
         ``compact_tombstones``) restate surviving rows instead of
@@ -1061,6 +1078,7 @@ class Table:
             else self.snapshot_at(to_snapshot_id)
         )
         parts = []
+        touched_buckets: set[str] = set()
         for snap, added, removed in self.commits_between(
             from_snapshot_id, to_snap.snapshot_id
         ):
@@ -1076,6 +1094,12 @@ class Table:
                 continue
             if not added:
                 continue
+            if with_pre_images:
+                added_paths = {fi["path"] for fi in added}
+                for m in (snap.buckets, snap.deltas):
+                    for b, fs in m.items():
+                        if any(fi["path"] in added_paths for fi in fs):
+                            touched_buckets.add(b)
             df = self._scan(to_snap, added, with_bucket_col=False)
             if with_commit_col:
                 df = df.withColumn(
@@ -1088,11 +1112,48 @@ class Table:
                 empty = empty.withColumn(
                     "_commit_snapshot", F.lit(None).cast("long")
                 )
+            if with_pre_images:
+                empty = empty.withColumn("_change_type", F.lit(None).cast("string"))
             return empty
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        return out
+        if not with_pre_images:
+            return out
+        out = out.withColumn("_change_type", F.lit("after"))
+        key_cols = [
+            c.strip()
+            for c in to_snap.properties.get("merge.key", "").split(",")
+            if c.strip()
+        ]
+        if not key_cols:
+            raise ValueError("with_pre_images requires the merge.key property")
+        from_snap = self.snapshot_at(from_snapshot_id)
+        prior = self.read(
+            from_snap, buckets=sorted(int(b) for b in touched_buckets)
+        )
+        # remap the from-snapshot frame onto the to-snapshot schema by
+        # column id: renames resolve, widened types cast, columns added
+        # since `from` materialize as nulls
+        src_by_id = {f["id"]: f for f in from_snap.schema_fields}
+        prior = prior.select(
+            *[
+                (
+                    F.col(src_by_id[f["id"]]["name"]).cast(f["type"])
+                    if f["id"] in src_by_id
+                    else F.lit(None).cast(f["type"])
+                ).alias(f["name"])
+                for f in to_snap.schema_fields
+            ]
+        )
+        before = prior.join(
+            out.select(*key_cols).distinct(), key_cols, "left_semi"
+        )
+        if with_commit_col:
+            before = before.withColumn(
+                "_commit_snapshot", F.lit(None).cast("long")
+            )
+        return out.unionByName(before.withColumn("_change_type", F.lit("before")))
 
     def rollback(self, snapshot_id: int) -> Snapshot:
         """Roll the table back to an earlier snapshot's state.

@@ -540,6 +540,45 @@ def cdc_changelog_read(spark, sf_dir):
     ).orderBy("url", "lsn")
 
 
+def cdc_changelog_preimage(spark, sf_dir):
+    """Changelog with pre-images: the UPDATE_BEFORE half of CDC out.
+
+    Same 3-batch replay; reads batch 1's changelog with
+    ``with_pre_images=True`` — every new row version tagged 'after',
+    plus each touched key's PRIOR reconciled winner (state as of the
+    batch-0 snapshot) tagged 'before', including prior tombstones.
+    Differential consumers retract old contributions from the 'before'
+    rows without keeping their own table copy.  Pre-image I/O is
+    bucket-pruned to the window's touched buckets and semi-joined to
+    the window's keys.  The DuckDB oracle recomputes both halves with
+    two windows (batch-1 winners; batch-0 winners restricted to
+    batch-1's key set).
+    """
+    import tempfile
+
+    from .cdc import CdcApplier
+
+    root = tempfile.mkdtemp(prefix="cdc_preimg_")
+    changes = cdc_changes_from_events(spark, sf_dir)
+    applier = CdcApplier(spark, root, n_buckets=8)
+    snaps = [applier.pages.current_snapshot().snapshot_id]
+    for b in range(3):
+        applier.apply_batch(changes.filter(F.col("lsn") % 3 == b), batch_id=b)
+        snaps.append(applier.pages.current_snapshot().snapshot_id)
+    delta = applier.pages.read_changes(
+        snaps[1], snaps[2], with_pre_images=True
+    )
+    return delta.select(
+        "url",
+        "warc_ts",
+        F.col("_lsn").alias("lsn"),
+        F.col("_deleted").alias("deleted"),
+        "text",
+        "lang",
+        F.col("_change_type").alias("change_type"),
+    ).orderBy("url", "change_type", "lsn")
+
+
 def cdc_follow_replica(spark, sf_dir):
     """Changelog follower end-to-end: a replica kept in sync by CDC out.
 
@@ -1402,6 +1441,7 @@ QUERIES = {
     "cdc_rollback_replay": cdc_rollback_replay,
     "cdc_time_travel": cdc_time_travel,
     "cdc_derived_rollup": cdc_derived_rollup,
+    "cdc_changelog_preimage": cdc_changelog_preimage,
     "minhash_dedup_documents": minhash_dedup_documents,
     "simhash_documents": simhash_documents,
     "embedding_neardup": embedding_neardup,
