@@ -368,6 +368,14 @@ def oracle_sql() -> dict[str, str]:
         # saw batch 2 (lsn % 3 == 2)
         "cdc_rollback_replay": _cdc_replay_sql("AND lsn % 3 <> 2"),
         "cdc_changelog_preimage": _cdc_preimage_sql(),
+        # the differential rollup must equal recompute-from-scratch
+        # over the final replay state
+        "cdc_incremental_rollup": f"""
+            SELECT lang, CAST(count(*) AS DOUBLE) AS n_pages,
+                   CAST(sum(length(text)) AS DOUBLE) AS chars
+            FROM ({_cdc_replay_sql()})
+            GROUP BY lang ORDER BY lang
+        """,
         # time travel reads the post-batch-1 snapshot (batches 0+1)
         # AFTER batch 2 landed — same bounded-replay oracle as rollback
         "cdc_time_travel": _cdc_replay_sql("AND lsn % 3 <> 2"),

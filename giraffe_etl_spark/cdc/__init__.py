@@ -9,6 +9,7 @@ from .apply import (
 )
 from .generate import ChangeGenConfig, changes_df, gen_changes, gen_pages, pages_df
 from .follow import ChangelogFollower, ResyncRequired
+from .views import IncrementalRollup
 from .oracle import oracle_apply, oracle_quarantine, validity_reason
 from .replay import ReplayReport, replay
 

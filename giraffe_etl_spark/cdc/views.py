@@ -1,0 +1,202 @@
+"""Differential aggregate views maintained from changelog pre-images.
+
+``ChangelogFollower`` keeps a keyed COPY in sync; ``IncrementalRollup``
+keeps an AGGREGATE in sync without any copy at all.  Each ``sync()``
+reads the source window once with ``read_changes(with_pre_images=True)``
+and applies the signed contributions — 'after' rows add, 'before' rows
+retract — to a tiny rollup table, the standard retraction form of
+incremental view maintenance for additive aggregates (count, sum).
+Non-additive aggregates (max/min/distinct) are deliberately out of
+scope: a retraction can invalidate them without enough information to
+recompute incrementally.
+
+Cost per sync at 100 TB: O(changed files) scan + the bucket-pruned
+pre-image read (both from ``read_changes``), one partial-aggregated
+shuffle down to |groups| rows, and an O(groups) copy-on-write rewrite
+of the rollup table — the source's base data is never re-read and no
+keyed replica is stored.  Exactly-once comes from the same trick the
+applier and follower use: the source-snapshot cursor is committed
+atomically WITH the rollup data, so a crashed sync replays
+idempotently.
+
+Behavior studied (not ported): the reference has no changelog and no
+derived-view maintenance; its nearest analog is re-running an
+aggregating process over re-imported output files
+(libgiraffe2 src/dataprocessor/processing_node.cpp task chains).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..lake.table import Table
+
+_CURSOR_PROP = "rollup.src_snapshot"
+
+
+class IncrementalRollup:
+    """Maintain ``SELECT group_cols, SUM(measure)... GROUP BY group_cols``
+    over a CDC source table, differentially.
+
+    ``measures``: name -> SQL expression string evaluated on a
+    changelog row (e.g. ``{"n_pages": "1", "chars": "length(text)"}``).
+    Expressions must be additive and null-free on live rows (wrap with
+    ``coalesce`` if a column can be null); tombstone halves contribute
+    nothing by construction.  Groups whose every measure returns to 0
+    are dropped from the rollup (a fully-retracted group disappears,
+    as it would on recompute).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        src: Table,
+        dst_path: str,
+        group_cols: list[str],
+        measures: dict[str, str],
+        deleted_col: str = "_deleted",
+        on_rewrite: str = "error",
+    ):
+        """``on_rewrite``: forwarded to ``read_changes``.  The default
+        refuses windows containing rewrite commits; pass "skip" when
+        the source's rewrites are known to be content-preserving MOR
+        compactions (the applier's default maintenance) — their added
+        files restate rows and carry no new contributions."""
+        self.spark = spark
+        self.src = src
+        self.group_cols = list(group_cols)
+        self.measures = dict(measures)
+        self.deleted_col = deleted_col
+        self.on_rewrite = on_rewrite
+        if not self.measures:
+            raise ValueError("at least one measure is required")
+        if Table.exists(dst_path):
+            self.dst = Table.load(spark, dst_path)
+            return
+        src_snap = src.current_snapshot()
+        src_types = {f["name"]: f["type"] for f in src_snap.schema_fields}
+        unknown = [c for c in self.group_cols if c not in src_types]
+        if unknown:
+            raise ValueError(f"group columns not in source schema: {unknown}")
+        ddl = ", ".join(
+            [f"{c} {src_types[c]}" for c in self.group_cols]
+            + [f"{m} double" for m in self.measures]
+        )
+        from pyspark.sql.types import StructType
+
+        # the rollup is |groups| rows: one bucket keeps every sync's
+        # copy-on-write rewrite a single tiny file
+        self.dst = Table.create(
+            spark,
+            dst_path,
+            StructType.fromDDL(ddl),
+            bucket_key=self.group_cols[0],
+            n_buckets=1,
+            properties={_CURSOR_PROP: str(src_snap.snapshot_id)},
+        )
+        # the creation snapshot's cursor covers all source history up
+        # to NOW with an empty rollup only if the source is empty too;
+        # otherwise seed from a one-time full aggregate
+        seed = self._aggregate_live(src.read(src_snap))
+        if seed.take(1):
+            self.dst.overwrite_buckets(
+                [0],
+                seed,
+                properties_update={_CURSOR_PROP: str(src_snap.snapshot_id)},
+            )
+
+    @property
+    def cursor(self) -> int:
+        return int(self.dst.properties[_CURSOR_PROP])
+
+    def _measure_cols(self, sign) -> list:
+        return [
+            F.sum(sign * F.expr(expr).cast("double")).alias(name)
+            for name, expr in self.measures.items()
+        ]
+
+    def _aggregate_live(self, df: DataFrame) -> DataFrame:
+        live = df.filter(~F.col(self.deleted_col)) if (
+            self.deleted_col in df.columns
+        ) else df
+        return live.groupBy(*self.group_cols).agg(
+            *self._measure_cols(F.lit(1.0))
+        )
+
+    def sync(self) -> dict:
+        """Fold all source commits since the cursor into the rollup."""
+        head = self.src.current_snapshot()
+        cur = self.cursor
+        if head.snapshot_id <= cur:
+            return {"commits": 0, "src_snapshot": cur}
+        ch = self.src.read_changes(
+            cur,
+            head.snapshot_id,
+            with_pre_images=True,
+            on_rewrite=self.on_rewrite,
+        )
+        live = (
+            ~F.col(self.deleted_col)
+            if self.deleted_col in ch.columns
+            else F.lit(True)
+        )
+        # LWW-correct differential: the window's raw 'after' versions
+        # are CHANGE rows, not the new state — late data can lose to
+        # the prior winner.  The post-state of a touched key is the
+        # merge-order winner over {its 'before' row} U {its 'after'
+        # versions} (reconcile is LWW on that same total order, so no
+        # second table read is needed).  Contribution = +winner (if
+        # live) - 'before' (if live); a window whose versions all lose
+        # nets exactly zero.
+        from pyspark.sql.window import Window
+
+        props = head.properties
+        key_cols = [c.strip() for c in props["merge.key"].split(",")]
+        order_cols = [c.strip() for c in props["merge.order"].split(",")]
+        w = Window.partitionBy(*key_cols).orderBy(
+            *[F.col(c).desc() for c in order_cols]
+        )
+        winner = F.row_number().over(w) == 1
+        sign = (
+            F.when(winner & live, F.lit(1.0)).otherwise(F.lit(0.0))
+            + F.when(
+                (F.col("_change_type") == "before") & live, F.lit(-1.0)
+            ).otherwise(F.lit(0.0))
+        )
+        deltas = (
+            ch.withColumn("_sign", sign)
+            .filter(F.col("_sign") != 0.0)
+            .groupBy(*self.group_cols)
+            .agg(*self._measure_cols(F.col("_sign")))
+        )
+        current = self.dst.read()
+        merged = (
+            current.select(
+                *self.group_cols,
+                *[F.col(m).alias(f"_cur_{m}") for m in self.measures],
+            )
+            .join(deltas, self.group_cols, "full_outer")
+            .select(
+                *self.group_cols,
+                *[
+                    (
+                        F.coalesce(f"_cur_{m}", F.lit(0.0))
+                        + F.coalesce(m, F.lit(0.0))
+                    ).alias(m)
+                    for m in self.measures
+                ],
+            )
+            # a fully-retracted group vanishes, as on recompute
+            .filter(
+                " or ".join(f"{m} != 0.0" for m in self.measures)
+            )
+        )
+        self.dst.overwrite_buckets(
+            [0],
+            merged,
+            properties_update={_CURSOR_PROP: str(head.snapshot_id)},
+        )
+        return {"commits": 1, "src_snapshot": head.snapshot_id}
+
+    def read(self) -> DataFrame:
+        return self.dst.read()

@@ -579,6 +579,40 @@ def cdc_changelog_preimage(spark, sf_dir):
     ).orderBy("url", "change_type", "lsn")
 
 
+def cdc_incremental_rollup(spark, sf_dir):
+    """Differential aggregate view: no replica, no recompute.
+
+    An ``IncrementalRollup`` maintains per-lang page count + total text
+    chars from the changelog's pre-images — each sync retracts the
+    'before' winners and adds the LWW post-winners of the touched keys
+    (O(changes) + bucket-pruned pre-image I/O; the source's base data
+    is never re-aggregated).  Synced after every batch of the standard
+    3-batch replay, which exercises retraction under inserts, updates,
+    deletes AND late data that loses to existing winners.  The DuckDB
+    oracle aggregates the full replay's final state, so the hash match
+    proves differential maintenance == recompute-from-scratch.
+    """
+    import tempfile
+
+    from .cdc import CdcApplier, IncrementalRollup
+
+    root = tempfile.mkdtemp(prefix="cdc_ivr_src_")
+    rpath = tempfile.mkdtemp(prefix="cdc_ivr_dst_")
+    changes = cdc_changes_from_events(spark, sf_dir)
+    applier = CdcApplier(spark, root, n_buckets=8)
+    rollup = IncrementalRollup(
+        spark,
+        applier.pages,
+        rpath + "/rollup",
+        group_cols=["lang"],
+        measures={"n_pages": "1", "chars": "coalesce(length(text), 0)"},
+    )
+    for b in range(3):
+        applier.apply_batch(changes.filter(F.col("lsn") % 3 == b), batch_id=b)
+        rollup.sync()
+    return rollup.read().select("lang", "n_pages", "chars").orderBy("lang")
+
+
 def cdc_follow_replica(spark, sf_dir):
     """Changelog follower end-to-end: a replica kept in sync by CDC out.
 
@@ -1442,6 +1476,7 @@ QUERIES = {
     "cdc_time_travel": cdc_time_travel,
     "cdc_derived_rollup": cdc_derived_rollup,
     "cdc_changelog_preimage": cdc_changelog_preimage,
+    "cdc_incremental_rollup": cdc_incremental_rollup,
     "minhash_dedup_documents": minhash_dedup_documents,
     "simhash_documents": simhash_documents,
     "embedding_neardup": embedding_neardup,
