@@ -368,6 +368,11 @@ def oracle_sql() -> dict[str, str]:
         # saw batch 2 (lsn % 3 == 2)
         "cdc_rollback_replay": _cdc_replay_sql("AND lsn % 3 <> 2"),
         "cdc_changelog_preimage": _cdc_preimage_sql(),
+        # the partial replica must equal filter(where) over a recompute
+        "cdc_filtered_follow": (
+            f"SELECT * FROM ({_cdc_replay_sql()}) "
+            "WHERE lang = 'en' ORDER BY url"
+        ),
         # the differential rollup must equal recompute-from-scratch
         # over the final replay state
         "cdc_incremental_rollup": f"""

@@ -64,6 +64,8 @@ _IDMAP_PROP = "follow.idmap"
 #: persisted projection: the source column IDS this replica mirrors
 #: (absent = full mirror).  Ids, not names — rename-stable, like the idmap.
 _PROJ_PROP = "follow.projection"
+#: persisted row predicate (SQL string; absent = all rows)
+_WHERE_PROP = "follow.where"
 
 
 class ResyncRequired(Exception):
@@ -84,6 +86,7 @@ class ChangelogFollower:
         n_buckets: int | None = None,
         compact_threshold: int = 16,
         columns: list[str] | None = None,
+        where: str | None = None,
     ):
         """``columns``: optional payload projection — the replica mirrors
         only these source columns (plus, always, the bucket key, the
@@ -100,6 +103,23 @@ class ChangelogFollower:
         drops.  Loading an existing replica ignores the argument
         (the persisted projection wins); passing a conflicting one
         raises.
+
+        ``where``: optional row predicate (SQL string over SOURCE
+        columns) — a partial replica holding only matching rows.  To
+        stay LWW-correct under late data, non-matching row versions are
+        not dropped but TOMBSTONIZED (key + merge-order columns kept,
+        payload nulled, deleted flag set): a key whose current winner
+        doesn't match leaves an index-sized stub that outranks any
+        late-arriving older version which does match — dropping it
+        instead would let that stale version resurrect in the replica.
+        A row UPDATED from matching to non-matching therefore converges
+        to a tombstone, exactly as a recompute of ``filter(where)``
+        would hide it.  The predicate is fixed at creation (persisted;
+        conflicting reopen raises), resolved by NAME at each sync —
+        renaming a referenced source column breaks it (documented
+        limitation, same as any SQL view).  Composes with ``columns``:
+        the predicate may reference columns outside the projection
+        (filter runs on the source-shaped frame, before projection).
         """
         self.spark = spark
         self.src = src
@@ -110,6 +130,12 @@ class ChangelogFollower:
         if Table.exists(dst_path):
             self.dst = Table.load(spark, dst_path)
             self._check_requested_projection(columns)
+            stored = self.dst.properties.get(_WHERE_PROP)
+            if where is not None and where != stored:
+                raise ValueError(
+                    f"replica already exists with a different predicate "
+                    f"(stored {stored!r}, requested {where!r})"
+                )
             if self.dst.properties.get(_CURSOR_PROP, self._BOOTSTRAPPING) == (
                 self._BOOTSTRAPPING
             ):
@@ -133,6 +159,14 @@ class ChangelogFollower:
             if k in ("merge.key", "merge.order", "stats.cols")
         }
         props[_CURSOR_PROP] = self._BOOTSTRAPPING
+        if where is not None:
+            if "_deleted" not in {f["name"] for f in snap.schema_fields}:
+                raise ValueError(
+                    "where= requires a tombstone column (_deleted) on the "
+                    "source — non-matching versions are tombstonized, not "
+                    "dropped"
+                )
+            props[_WHERE_PROP] = where
         struct = src._current_struct(snap)
         if columns is not None:
             keep = self._resolve_projection(snap, columns)
@@ -199,6 +233,44 @@ class ChangelogFollower:
         names = [f["name"] for f in self.dst.current_snapshot().schema_fields]
         return df.select(*names) if set(names) != set(df.columns) else df
 
+    def _apply_where(self, df):
+        """Tombstonize row versions that fail the replica's predicate.
+
+        Matching live rows pass through; everything else (non-matching,
+        null-predicate, already-deleted) keeps only the key +
+        merge-order columns and the deleted flag — an index-sized stub
+        whose merge-order still outranks late-arriving older versions.
+        """
+        from pyspark.sql import functions as F
+
+        where = self.dst.properties.get(_WHERE_PROP)
+        if not where:
+            return df
+        from .apply import ENGINE_COLS
+
+        src_snap = self.src.current_snapshot()
+        keep = {src_snap.properties["bucket.key"]}
+        keep |= {
+            c.strip()
+            for c in src_snap.properties.get("merge.order", "").split(",")
+            if c.strip()
+        }
+        keep |= set(ENGINE_COLS)
+        cond = F.coalesce(F.expr(where), F.lit(False)) & ~F.col("_deleted")
+        cols = []
+        for name, dtype in df.dtypes:
+            if name == "_deleted":
+                cols.append((~cond).alias("_deleted"))
+            elif name in keep:
+                cols.append(F.col(name))
+            else:
+                cols.append(
+                    F.when(cond, F.col(name))
+                    .otherwise(F.lit(None).cast(dtype))
+                    .alias(name)
+                )
+        return df.select(*cols)
+
     def _bootstrap(self) -> None:
         """Initial copy: reconciled current content, cursor set with it.
 
@@ -210,7 +282,9 @@ class ChangelogFollower:
         """
         snap = self.src.current_snapshot()
         self._evolve_dst_to_src(snap)
-        full = self._project_to_dst(self.src.read(snap, reconcile=True))
+        full = self._project_to_dst(
+            self._apply_where(self.src.read(snap, reconcile=True))
+        )
         if full.take(1):
             self.dst.append_deltas(
                 None,
@@ -385,7 +459,9 @@ class ChangelogFollower:
             self.dst.set_properties({_CURSOR_PROP: str(head.snapshot_id)})
             return {"commits": 0, "files": 0, "src_snapshot": head.snapshot_id}
         changes = self._project_to_dst(
-            self.src._scan(head, entries, with_bucket_col=False)
+            self._apply_where(
+                self.src._scan(head, entries, with_bucket_col=False)
+            )
         )
         # touched buckets derive from the committed manifest diff
         # (bucket_ids=None) — per-sync manifest metadata is O(touched

@@ -579,6 +579,41 @@ def cdc_changelog_preimage(spark, sf_dir):
     ).orderBy("url", "change_type", "lsn")
 
 
+def cdc_filtered_follow(spark, sf_dir):
+    """Predicate-filtered partial replica, LWW-correct under late data.
+
+    A ``ChangelogFollower`` with ``where="lang = 'en'"`` tails the
+    3-batch replay into a replica holding only English pages.
+    Non-matching row versions are tombstonized rather than dropped —
+    the index-sized stubs outrank late-arriving older matching
+    versions, so a page that left the predicate can never resurrect
+    (the replay's interleaved batches exercise exactly that).  The
+    DuckDB oracle filters the full replay's final state, so the hash
+    match proves the partial replica equals ``filter(where)`` over a
+    recompute.
+    """
+    import tempfile
+
+    from .cdc import CdcApplier, ChangelogFollower, read_pages
+
+    root = tempfile.mkdtemp(prefix="cdc_filt_src_")
+    replica = tempfile.mkdtemp(prefix="cdc_filt_dst_")
+    changes = cdc_changes_from_events(spark, sf_dir)
+    applier = CdcApplier(spark, root, n_buckets=8)
+    follower = ChangelogFollower(
+        spark, applier.pages, replica + "/en", n_buckets=4,
+        where="lang = 'en'",
+    )
+    for b in range(3):
+        applier.apply_batch(changes.filter(F.col("lsn") % 3 == b), batch_id=b)
+        follower.sync()
+    return (
+        read_pages(follower.dst)
+        .select("url", "warc_ts", "text", "lang")
+        .orderBy("url")
+    )
+
+
 def cdc_incremental_rollup(spark, sf_dir):
     """Differential aggregate view: no replica, no recompute.
 
@@ -1477,6 +1512,7 @@ QUERIES = {
     "cdc_derived_rollup": cdc_derived_rollup,
     "cdc_changelog_preimage": cdc_changelog_preimage,
     "cdc_incremental_rollup": cdc_incremental_rollup,
+    "cdc_filtered_follow": cdc_filtered_follow,
     "minhash_dedup_documents": minhash_dedup_documents,
     "simhash_documents": simhash_documents,
     "embedding_neardup": embedding_neardup,

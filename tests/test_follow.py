@@ -429,3 +429,136 @@ def test_projected_follower_reopen_checks_projection(
     assert _rows_cols(f.dst, PROJ_COLS) == _rows_cols(
         src_applier.pages, PROJ_COLS
     )
+
+
+# ---- predicate-filtered (partial) replicas ----------------------------------
+
+
+def _live(table, cols):
+    df = table.read(reconcile=True).filter("not _deleted").select(*sorted(cols))
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_filtered_follower_matches_source_filter(spark, tmp_root, src_applier):
+    """A where= replica's live rows equal filter(where) over the source,
+    batch after batch."""
+    _apply(spark, src_applier, 0, 100, 0)
+    f = ChangelogFollower(
+        spark,
+        src_applier.pages,
+        os.path.join(tmp_root, "dst"),
+        n_buckets=4,
+        where="lang = 'en'",
+    )
+    pub = ["url", "warc_ts", "text", "lang"]
+    want = sorted(
+        tuple(r)
+        for r in read_pages(src_applier.pages)
+        .filter("lang = 'en'")
+        .select(*sorted(pub))
+        .collect()
+    )
+    got = sorted(
+        tuple(r) for r in read_pages(f.dst).select(*sorted(pub)).collect()
+    )
+    assert got == want and len(want) > 0
+
+    _apply(spark, src_applier, 100, 200, 1)
+    _apply(spark, src_applier, 200, 300, 2)
+    f.sync()
+    want = sorted(
+        tuple(r)
+        for r in read_pages(src_applier.pages)
+        .filter("lang = 'en'")
+        .select(*sorted(pub))
+        .collect()
+    )
+    got = sorted(
+        tuple(r) for r in read_pages(f.dst).select(*sorted(pub)).collect()
+    )
+    assert got == want
+
+
+def test_filtered_follower_tombstones_block_late_losers(spark, tmp_root):
+    """Non-matching versions leave tombstone stubs so a late-arriving
+    OLDER matching version cannot resurrect in the replica."""
+    from pyspark.sql.types import StructType
+
+    from giraffe_etl_spark.lake import Table
+
+    schema = StructType.fromDDL(
+        "url string, warc_ts long, lang string, _lsn long, _deleted boolean"
+    )
+    t = Table.create(
+        spark,
+        os.path.join(tmp_root, "t"),
+        schema,
+        bucket_key="url",
+        n_buckets=2,
+        properties={"merge.key": "url", "merge.order": "warc_ts,_lsn"},
+    )
+    t.append(
+        spark.createDataFrame(
+            [("u1", 1, "en", 1, False), ("u2", 1, "fr", 2, False)], schema
+        )
+    )
+    f = ChangelogFollower(
+        spark, t, os.path.join(tmp_root, "dst"), where="lang = 'en'"
+    )
+    assert _live(f.dst, ["url", "lang"]) == [("en", "u1")]
+
+    # u1 leaves the predicate (en -> fr): replica converges to hidden
+    t.append_deltas(
+        None, spark.createDataFrame([("u1", 3, "fr", 3, False)], schema)
+    )
+    f.sync()
+    assert _live(f.dst, ["url", "lang"]) == []
+
+    # LATE older matching versions arrive for both keys: the stubs
+    # (u1@ts3 non-matching, u2@ts1 non-matching) must outrank them
+    t.append_deltas(
+        None,
+        spark.createDataFrame(
+            [("u1", 2, "en", 4, False), ("u2", 0, "en", 5, False)], schema
+        ),
+    )
+    f.sync()
+    assert _live(f.dst, ["url", "lang"]) == []
+    # and the source agrees: neither key's winner matches
+    assert _live(t, ["url", "lang"]) == [("fr", "u1"), ("fr", "u2")]
+
+
+def test_filtered_follower_composes_with_projection(
+    spark, tmp_root, src_applier
+):
+    """The predicate may reference columns OUTSIDE the projection: the
+    filter runs on the source-shaped frame before projection."""
+    _apply(spark, src_applier, 0, 100, 0)
+    f = ChangelogFollower(
+        spark,
+        src_applier.pages,
+        os.path.join(tmp_root, "dst"),
+        columns=[],  # key + order + engine only — no lang column kept
+        where="lang = 'en'",
+    )
+    _apply(spark, src_applier, 100, 200, 1)
+    f.sync()
+    assert set(f.dst.read().columns) == {"url", "warc_ts", "_lsn", "_deleted"}
+    want = sorted(
+        r["url"]
+        for r in read_pages(src_applier.pages).filter("lang = 'en'").collect()
+    )
+    got = sorted(
+        r["url"]
+        for r in f.dst.read(reconcile=True).filter("not _deleted").collect()
+    )
+    assert got == want and len(want) > 0
+
+    # conflicting predicate on reopen refuses
+    with pytest.raises(ValueError, match="different predicate"):
+        ChangelogFollower(
+            spark,
+            src_applier.pages,
+            os.path.join(tmp_root, "dst"),
+            where="lang = 'de'",
+        )
