@@ -982,6 +982,94 @@ class Table:
 
     # ---- changelog emission (CDC out) -------------------------------------
 
+    def meta(self, kind: str) -> DataFrame:
+        """Metadata tables — the Iceberg-style inspection surface.
+
+        ``kind``:
+
+        * ``"snapshots"`` — one row per reachable (non-expired)
+          snapshot, newest first: id, parent, operation tag, schema id,
+          base/delta file and row counts.  The operator's first stop for
+          "what happened to this table" (commit history, compaction
+          cadence, rollback points).
+        * ``"files"`` — one row per live data file of the CURRENT
+          snapshot: bucket, base/delta kind, path, schema id, rows.
+          Fragmentation and skew are read off this directly.
+        * ``"schemas"`` — one row per column per schema version ever
+          committed: schema id, column id, name, type.  The evolution
+          audit trail (renames keep the id, so a column's history is
+          its id's row set).
+
+        All driver-side manifest JSON — no data I/O, O(snapshots +
+        files) rows.
+        """
+        if kind == "snapshots":
+            rows = []
+            sid = self.current_snapshot().snapshot_id
+            while sid >= 0:
+                try:
+                    s = self.snapshot_at(sid)
+                except SnapshotExpired:
+                    break
+                rows.append(
+                    (
+                        s.snapshot_id,
+                        s.parent_id,
+                        s.summary.get("operation", "unknown"),
+                        s.schema_id,
+                        sum(len(fs) for fs in s.buckets.values()),
+                        sum(len(fs) for fs in s.deltas.values()),
+                        sum(
+                            int(fi.get("rows") or 0)
+                            for m in (s.buckets, s.deltas)
+                            for fs in m.values()
+                            for fi in fs
+                        ),
+                    )
+                )
+                if s.parent_id is None:
+                    break
+                sid = s.parent_id
+            return self.spark.createDataFrame(
+                rows,
+                "snapshot_id long, parent_id long, operation string, "
+                "schema_id int, base_files int, delta_files int, rows long",
+            )
+        if kind == "files":
+            s = self.current_snapshot()
+            rows = [
+                (
+                    int(b),
+                    knd,
+                    fi["path"],
+                    int(fi["schema_id"]),
+                    int(fi.get("rows") or 0),
+                )
+                for knd, m in (("base", s.buckets), ("delta", s.deltas))
+                for b, fs in m.items()
+                for fi in fs
+            ]
+            return self.spark.createDataFrame(
+                rows,
+                "bucket int, kind string, path string, schema_id int, "
+                "rows long",
+            )
+        if kind == "schemas":
+            s = self.current_snapshot()
+            rows = [
+                (int(sid), f["id"], f["name"], f["type"])
+                for sid, fields in sorted(
+                    s.schemas.items(), key=lambda kv: int(kv[0])
+                )
+                for f in fields
+            ]
+            return self.spark.createDataFrame(
+                rows, "schema_id int, column_id int, name string, type string"
+            )
+        raise ValueError(
+            f"unknown metadata table {kind!r}: snapshots | files | schemas"
+        )
+
     def commits_between(
         self, from_id: int, to_id: int | None = None
     ) -> list[tuple[Snapshot, list[dict], list[str]]]:

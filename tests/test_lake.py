@@ -495,3 +495,42 @@ def test_rollback_racing_commit_fails_fast(spark, tmp_root):
     # a fresh rollback sees the new head and succeeds
     t.rollback(good)
     assert {(r.k, r.v) for r in t.read().collect()} == {("a", 1)}
+
+
+def test_meta_tables_inspect_history_files_schemas(spark, tmp_root):
+    """Table.meta: snapshots newest-first with operation tags, files
+    reflect live base+delta sets, schemas carry the evolution trail."""
+    schema = StructType.fromDDL("k string, ts long, v long")
+    t = Table.create(
+        spark,
+        os.path.join(tmp_root, "t"),
+        schema,
+        bucket_key="k",
+        n_buckets=2,
+        properties={"merge.key": "k", "merge.order": "ts"},
+    )
+    rows = lambda xs: spark.createDataFrame(xs, schema)
+    t.append(rows([("a", 1, 10), ("b", 1, 20)]))
+    t.append_deltas(None, rows([("a", 2, 11)]))
+    t.add_column("w", "long")
+
+    snaps = t.meta("snapshots").collect()
+    assert [r["operation"] for r in snaps][:3] == [
+        "metadata", "delta-append", "append",
+    ]
+    assert snaps[0]["snapshot_id"] > snaps[1]["snapshot_id"]
+
+    files = t.meta("files").collect()
+    kinds = {r["kind"] for r in files}
+    assert kinds == {"base", "delta"}
+    assert sum(r["rows"] for r in files) == 3  # 2 base + 1 delta version
+
+    sch = t.meta("schemas").collect()
+    by_sid = {}
+    for r in sch:
+        by_sid.setdefault(r["schema_id"], set()).add(r["name"])
+    first, last = min(by_sid), max(by_sid)
+    assert "w" not in by_sid[first] and "w" in by_sid[last]
+
+    with pytest.raises(ValueError, match="unknown metadata table"):
+        t.meta("nope")
