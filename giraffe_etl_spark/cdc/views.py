@@ -72,6 +72,13 @@ class IncrementalRollup:
             raise ValueError("at least one measure is required")
         if Table.exists(dst_path):
             self.dst = Table.load(spark, dst_path)
+            if self.dst.properties.get(_CURSOR_PROP) == self._BOOTSTRAPPING:
+                # a prior constructor crashed between Table.create and
+                # the seed commit: the sentinel marks the rollup as
+                # unseeded — redo it (idempotent: the real cursor lands
+                # only inside the seed's own commit, same crash-atomic
+                # two-commit create the follower uses)
+                self._seed()
             return
         src_snap = src.current_snapshot()
         src_types = {f["name"]: f["type"] for f in src_snap.schema_fields}
@@ -92,18 +99,21 @@ class IncrementalRollup:
             StructType.fromDDL(ddl),
             bucket_key=self.group_cols[0],
             n_buckets=1,
-            properties={_CURSOR_PROP: str(src_snap.snapshot_id)},
+            properties={_CURSOR_PROP: self._BOOTSTRAPPING},
         )
-        # the creation snapshot's cursor covers all source history up
-        # to NOW with an empty rollup only if the source is empty too;
-        # otherwise seed from a one-time full aggregate
-        seed = self._aggregate_live(src.read(src_snap))
-        if seed.take(1):
-            self.dst.overwrite_buckets(
-                [0],
-                seed,
-                properties_update={_CURSOR_PROP: str(src_snap.snapshot_id)},
-            )
+        self._seed()
+
+    #: cursor value meaning "created, seed aggregate not yet committed"
+    _BOOTSTRAPPING = "-1"
+
+    def _seed(self) -> None:
+        """One-time full aggregate; the real cursor commits WITH it."""
+        snap = self.src.current_snapshot()
+        self.dst.overwrite_buckets(
+            [0],
+            self._aggregate_live(self.src.read(snap)),
+            properties_update={_CURSOR_PROP: str(snap.snapshot_id)},
+        )
 
     @property
     def cursor(self) -> int:

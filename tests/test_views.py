@@ -140,3 +140,51 @@ def test_rollup_fully_retracted_group_disappears(spark, tmp_root):
 
 def _langs(rollup):
     return sorted((r["lang"], r["n_pages"]) for r in rollup.read().collect())
+
+
+def test_rollup_seed_crash_is_redone(spark, tmp_root, src_applier, monkeypatch):
+    """A crash between Table.create and the seed commit leaves the
+    sentinel cursor; reconstruction redoes the seed instead of serving
+    an empty rollup that claims to be current."""
+    _apply(spark, src_applier, 0, 60, 0)
+    path = os.path.join(tmp_root, "rollup")
+
+    def boom(self):
+        raise RuntimeError("crash before seed")
+
+    monkeypatch.setattr(IncrementalRollup, "_seed", boom)
+    with pytest.raises(RuntimeError, match="crash before seed"):
+        IncrementalRollup(
+            spark,
+            src_applier.pages,
+            path,
+            group_cols=["lang"],
+            measures=MEASURES,
+        )
+    monkeypatch.undo()
+
+    r = IncrementalRollup(
+        spark, src_applier.pages, path, group_cols=["lang"], measures=MEASURES
+    )
+    assert _rollup_rows(r) == _recompute(src_applier.pages)
+    # and subsequent differential syncs work off the redone seed
+    _apply(spark, src_applier, 60, 120, 1)
+    r.sync()
+    assert _rollup_rows(r) == _recompute(src_applier.pages)
+
+
+def test_rollup_over_empty_source_seeds_then_tracks(spark, tmp_root):
+    from giraffe_etl_spark.cdc.apply import CdcApplier as _A
+
+    applier = _A(spark, os.path.join(tmp_root, "src"), n_buckets=4)
+    r = IncrementalRollup(
+        spark,
+        applier.pages,
+        os.path.join(tmp_root, "rollup"),
+        group_cols=["lang"],
+        measures=MEASURES,
+    )
+    assert _rollup_rows(r) == []
+    _apply(spark, applier, 0, 60, 0)
+    r.sync()
+    assert _rollup_rows(r) == _recompute(applier.pages)
