@@ -188,3 +188,23 @@ def test_rollup_over_empty_source_seeds_then_tracks(spark, tmp_root):
     _apply(spark, applier, 0, 60, 0)
     r.sync()
     assert _rollup_rows(r) == _recompute(applier.pages)
+
+
+def test_rollup_skips_compaction_restatements(spark, tmp_root, src_applier):
+    """With on_rewrite='skip', a source compaction inside the sync
+    window contributes nothing (its files restate rows) and the
+    differential stays equal to recompute."""
+    _apply(spark, src_applier, 0, 100, 0)
+    rollup = IncrementalRollup(
+        spark,
+        src_applier.pages,
+        os.path.join(tmp_root, "rollup"),
+        group_cols=["lang"],
+        measures=MEASURES,
+        on_rewrite="skip",
+    )
+    _apply(spark, src_applier, 100, 200, 1)
+    src_applier.pages.compact_deltas(max_delta_files=0)
+    _apply(spark, src_applier, 200, 300, 2)
+    rollup.sync()
+    assert _rollup_rows(rollup) == _recompute(src_applier.pages)
