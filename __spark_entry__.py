@@ -368,6 +368,31 @@ def oracle_sql() -> dict[str, str]:
         # saw batch 2 (lsn % 3 == 2)
         "cdc_rollback_replay": _cdc_replay_sql("AND lsn % 3 <> 2"),
         "cdc_changelog_preimage": _cdc_preimage_sql(),
+        # the commit history is deterministic: create at id 0, one
+        # delta-append per batch, each adding one winner row-version
+        # per distinct key in the batch
+        "cdc_meta_history": """
+            WITH ch AS (
+              SELECT event_id AS lsn,
+                     'http://host' || CAST(user_id % 20 AS VARCHAR)
+                       || '.example.org/page/' || CAST(user_id AS VARCHAR)
+                       AS url,
+                     CASE WHEN event_id % 97 = 0 THEN 'X'
+                          WHEN event_id % 10 < 6 THEN 'I'
+                          WHEN event_id % 10 < 9 THEN 'U' ELSE 'D' END AS op
+              FROM events),
+            counts AS (
+              SELECT CAST(lsn % 3 AS INT) AS b,
+                     COUNT(DISTINCT url) AS n
+              FROM ch WHERE op <> 'X' GROUP BY 1)
+            SELECT CAST(0 AS BIGINT) AS snapshot_id, 'create' AS operation,
+                   CAST(0 AS BIGINT) AS row_versions
+            UNION ALL
+            SELECT CAST(b + 1 AS BIGINT), 'delta-append',
+                   CAST(SUM(n) OVER (ORDER BY b) AS BIGINT)
+            FROM counts
+            ORDER BY snapshot_id
+        """,
         # the partial replica must equal filter(where) over a recompute
         "cdc_filtered_follow": (
             f"SELECT * FROM ({_cdc_replay_sql()}) "

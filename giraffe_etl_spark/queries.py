@@ -579,6 +579,36 @@ def cdc_changelog_preimage(spark, sf_dir):
     ).orderBy("url", "change_type", "lsn")
 
 
+def cdc_meta_history(spark, sf_dir):
+    """Metadata inspection, oracle-checked: the commit history itself.
+
+    Runs the standard 3-batch replay, then reads
+    ``Table.meta("snapshots")`` — one row per commit, newest first,
+    with operation tags and manifest row counts.  Everything in it is
+    deterministic: the applier commits the pages table exactly once per
+    batch (create + 3 delta-appends), and each delta-append adds one
+    winner row-version per distinct key in the batch, so the DuckDB
+    oracle recomputes the whole history — ids, tags, cumulative row
+    versions — from the events table alone.  A hash match proves the
+    manifest bookkeeping (per-file row counts, operation summaries,
+    parent chain) is exact, not just the data.
+    """
+    import tempfile
+
+    from .cdc import CdcApplier
+
+    root = tempfile.mkdtemp(prefix="cdc_meta_")
+    changes = cdc_changes_from_events(spark, sf_dir)
+    applier = CdcApplier(spark, root, n_buckets=8)
+    for b in range(3):
+        applier.apply_batch(changes.filter(F.col("lsn") % 3 == b), batch_id=b)
+    return (
+        applier.pages.meta("snapshots")
+        .select("snapshot_id", "operation", F.col("rows").alias("row_versions"))
+        .orderBy("snapshot_id")
+    )
+
+
 def cdc_filtered_follow(spark, sf_dir):
     """Predicate-filtered partial replica, LWW-correct under late data.
 
@@ -1513,6 +1543,7 @@ QUERIES = {
     "cdc_changelog_preimage": cdc_changelog_preimage,
     "cdc_incremental_rollup": cdc_incremental_rollup,
     "cdc_filtered_follow": cdc_filtered_follow,
+    "cdc_meta_history": cdc_meta_history,
     "minhash_dedup_documents": minhash_dedup_documents,
     "simhash_documents": simhash_documents,
     "embedding_neardup": embedding_neardup,
