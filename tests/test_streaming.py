@@ -222,3 +222,63 @@ def test_stream_killed_mid_epoch_between_commits_resumes(spark, roots):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(q_got, q_want)
+
+
+def test_stream_feeds_derived_views_end_to_end(spark, roots):
+    """Stream -> applier -> changelog -> {filtered replica, differential
+    rollup}: after the drain, both derived tables equal their
+    recompute-from-scratch over the streamed table's final state."""
+    from pyspark.sql import functions as F
+
+    from giraffe_etl_spark.cdc import ChangelogFollower, IncrementalRollup
+
+    table_root, src_dir, ckpt = roots
+    n_pages, n_events = 30, 240
+    changes = gen_changes(n_events, CFG)
+    _write_chunks(spark, src_dir, changes, n_chunks=3)
+
+    applier = CdcApplier(spark, table_root, n_buckets=4)
+    seed_pages(applier.pages, spark.createDataFrame(gen_pages(n_pages)))
+    follower = ChangelogFollower(
+        spark,
+        applier.pages,
+        table_root + "_en",
+        n_buckets=2,
+        where="lang = 'en'",
+    )
+    rollup = IncrementalRollup(
+        spark,
+        applier.pages,
+        table_root + "_rollup",
+        group_cols=["lang"],
+        measures={"n_pages": "1"},
+    )
+
+    q = start_apply_stream(
+        read_change_stream(spark, src_dir, max_files_per_trigger=1),
+        applier,
+        ckpt,
+    )
+    q.awaitTermination(300)
+    follower.sync()
+    rollup.sync()
+
+    final = read_pages(applier.pages)
+    want_en = sorted(
+        tuple(r)
+        for r in final.filter("lang = 'en'").select("url", "text").collect()
+    )
+    got_en = sorted(
+        tuple(r)
+        for r in read_pages(follower.dst).select("url", "text").collect()
+    )
+    assert got_en == want_en and len(want_en) > 0
+
+    want_counts = sorted(
+        (r["lang"], float(r["n"]))
+        for r in final.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    got_counts = sorted(
+        (r["lang"], r["n_pages"]) for r in rollup.read().collect()
+    )
+    assert got_counts == want_counts
