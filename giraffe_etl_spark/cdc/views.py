@@ -179,19 +179,29 @@ class IncrementalRollup:
             .groupBy(*self.group_cols)
             .agg(*self._measure_cols(F.col("_sign")))
         )
-        current = self.dst.read()
+        # null-SAFE outer merge: a null group value is a legal group
+        # (Spark's groupBy folds nulls into one group), but a plain
+        # equi-join would never match it — current and delta null-group
+        # rows would both survive as duplicates.  eqNullSafe pairs them.
+        cur = self.dst.read().select(
+            *[F.col(c).alias(f"_cur_g_{c}") for c in self.group_cols],
+            *[F.col(m).alias(f"_cur_{m}") for m in self.measures],
+        )
+        cond = None
+        for c in self.group_cols:
+            e = cur[f"_cur_g_{c}"].eqNullSafe(deltas[c])
+            cond = e if cond is None else (cond & e)
         merged = (
-            current.select(
-                *self.group_cols,
-                *[F.col(m).alias(f"_cur_{m}") for m in self.measures],
-            )
-            .join(deltas, self.group_cols, "full_outer")
+            cur.join(deltas, cond, "full_outer")
             .select(
-                *self.group_cols,
+                *[
+                    F.coalesce(deltas[c], F.col(f"_cur_g_{c}")).alias(c)
+                    for c in self.group_cols
+                ],
                 *[
                     (
                         F.coalesce(f"_cur_{m}", F.lit(0.0))
-                        + F.coalesce(m, F.lit(0.0))
+                        + F.coalesce(deltas[m], F.lit(0.0))
                     ).alias(m)
                     for m in self.measures
                 ],

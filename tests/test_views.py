@@ -208,3 +208,54 @@ def test_rollup_skips_compaction_restatements(spark, tmp_root, src_applier):
     _apply(spark, src_applier, 200, 300, 2)
     rollup.sync()
     assert _rollup_rows(rollup) == _recompute(src_applier.pages)
+
+
+def test_rollup_null_group_value_merges_not_duplicates(spark, tmp_root):
+    """A null group value is one group (as groupBy folds it); the
+    null-safe outer merge must pair current and delta null-group rows
+    instead of leaving duplicates."""
+    schema = StructType.fromDDL(
+        "url string, warc_ts long, lang string, _lsn long, _deleted boolean"
+    )
+    t = Table.create(
+        spark,
+        os.path.join(tmp_root, "t"),
+        schema,
+        bucket_key="url",
+        n_buckets=2,
+        properties={"merge.key": "url", "merge.order": "warc_ts,_lsn"},
+    )
+    t.append(
+        spark.createDataFrame(
+            [("u1", 1, None, 1, False), ("u2", 1, "yy", 2, False)], schema
+        )
+    )
+    rollup = IncrementalRollup(
+        spark,
+        t,
+        os.path.join(tmp_root, "rollup"),
+        group_cols=["lang"],
+        measures={"n_pages": "1"},
+    )
+    def langs():
+        return sorted(
+            ((r["lang"], r["n_pages"]) for r in rollup.read().collect()),
+            key=lambda t: (t[0] is not None, t[0]),
+        )
+
+    assert langs() == [(None, 1.0), ("yy", 1.0)]
+
+    # another null-group row arrives: the null group must MERGE to 2,
+    # not appear twice
+    t.append_deltas(
+        None, spark.createDataFrame([("u3", 1, None, 3, False)], schema)
+    )
+    rollup.sync()
+    assert langs() == [(None, 2.0), ("yy", 1.0)]
+
+    # retract one of them
+    t.append_deltas(
+        None, spark.createDataFrame([("u1", 2, None, 4, True)], schema)
+    )
+    rollup.sync()
+    assert langs() == [(None, 1.0), ("yy", 1.0)]
