@@ -1217,9 +1217,22 @@ class Table:
         if not key_cols:
             raise ValueError("with_pre_images requires the merge.key property")
         from_snap = self.snapshot_at(from_snapshot_id)
-        prior = self.read(
-            from_snap, buckets=sorted(int(b) for b in touched_buckets)
-        )
+        # touched buckets are numbered under the commits' (post-window)
+        # layout; the prior-state scan runs against the FROM snapshot's
+        # layout.  After a mid-window rescale (k*N split, skipped as a
+        # restatement) the counts differ — translate via the rescale
+        # invariant pmod(h, kN) mod N == pmod(h, N), i.e. new % old.
+        # An unrecognized relation falls back to an unpruned read:
+        # correct, just not bucket-pruned.
+        from_n = int(from_snap.properties.get("bucket.count", 0) or 0)
+        to_n = int(to_snap.properties.get("bucket.count", 0) or 0)
+        if from_n == to_n or not (from_n and to_n):
+            sel = sorted(int(b) for b in touched_buckets)
+        elif to_n % from_n == 0:
+            sel = sorted({int(b) % from_n for b in touched_buckets})
+        else:
+            sel = None
+        prior = self.read(from_snap, buckets=sel)
         # remap the from-snapshot frame onto the to-snapshot schema by
         # column id: renames resolve, widened types cast, columns added
         # since `from` materialize as nulls

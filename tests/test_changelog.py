@@ -194,3 +194,43 @@ def test_read_changes_pre_images_map_schema_evolution(spark, tmp_root):
         (r["k"], r["ts"], r["w"], r["_change_type"]) for r in ch.collect()
     )
     assert got == [("a", 1, None, "before"), ("a", 2, 7, "after")]
+
+
+def test_read_changes_pre_images_across_mid_window_rescale(spark, tmp_root):
+    """Touched buckets are numbered under the post-rescale layout; the
+    pre-image scan must translate them to the from-snapshot's layout
+    (new % old) or prior winners silently vanish from the feed."""
+    t = mor_table(spark, tmp_root, n_buckets=2)
+    seed = rows_df(spark, [(f"k{i}", 1, i) for i in range(20)])
+    t.append(seed)
+    s1 = t.current_snapshot().snapshot_id
+
+    t.rescale_buckets(8)  # k*N split inside the window (restatement)
+    upd = rows_df(spark, [(f"k{i}", 2, 100 + i) for i in range(0, 20, 4)])
+    t.append_deltas(None, upd)
+
+    ch = t.read_changes(s1, with_pre_images=True, on_rewrite="skip")
+    got = sorted(
+        (r["k"], r["ts"], r["_change_type"]) for r in ch.collect()
+    )
+    want = sorted(
+        [(f"k{i}", 2, "after") for i in range(0, 20, 4)]
+        + [(f"k{i}", 1, "before") for i in range(0, 20, 4)]
+    )
+    assert got == want
+
+
+def test_read_changes_pre_images_with_commit_col(spark, tmp_root):
+    """'after' rows carry the committing snapshot id; 'before' rows are
+    historical state, not a commit — their _commit_snapshot is null."""
+    t = mor_table(spark, tmp_root)
+    t.append(rows_df(spark, [("a", 1, 10)]))
+    s1 = t.current_snapshot().snapshot_id
+    t.append_deltas(None, rows_df(spark, [("a", 2, 11)]))
+    s2 = t.current_snapshot().snapshot_id
+
+    ch = t.read_changes(s1, with_pre_images=True, with_commit_col=True)
+    got = {
+        (r["_change_type"], r["_commit_snapshot"]) for r in ch.collect()
+    }
+    assert got == {("after", s2), ("before", None)}
