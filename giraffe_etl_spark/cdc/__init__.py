@@ -18,6 +18,7 @@ __all__ = [
     "CdcApplier",
     "MaintenancePolicy",
     "ChangelogFollower",
+    "IncrementalRollup",
     "ResyncRequired",
     "FieldSpec",
     "convert_typed",

@@ -197,17 +197,35 @@ class ChangelogFollower:
         self._bootstrap()
 
     def _resolve_projection(self, src_snap, columns: list[str]) -> set[int]:
-        """Requested payload names -> kept source ids (plus required)."""
+        """Requested payload names -> kept source ids (plus required).
+
+        Required = bucket key + merge.key + merge.order columns (the
+        replica copies those properties, so dropping a column they name
+        would break its own reconciled reads) + engine columns.  A
+        required name the source schema lacks is an error, not a silent
+        drop — a replica missing its own merge.order column is corrupt
+        at creation.
+        """
         from .apply import ENGINE_COLS
 
         by_name = {f["name"]: f["id"] for f in src_snap.schema_fields}
         unknown = [c for c in columns if c not in by_name]
         if unknown:
             raise ValueError(f"projection names unknown source columns: {unknown}")
-        required = [src_snap.properties["bucket.key"]]
-        required += src_snap.properties.get("merge.order", "").split(",")
+        props = src_snap.properties
+        required = [props["bucket.key"]]
+        for prop in ("merge.key", "merge.order"):
+            required += [
+                c.strip() for c in props.get(prop, "").split(",") if c.strip()
+            ]
+        missing = [c for c in required if c not in by_name]
+        if missing:
+            raise ValueError(
+                f"source schema lacks required replica columns {missing} "
+                "(bucket/merge key or order)"
+            )
         required += [c for c in ENGINE_COLS if c in by_name]
-        return {by_name[c] for c in (*required, *columns) if c in by_name}
+        return {by_name[c] for c in (*required, *columns)}
 
     def _projection(self) -> set[int] | None:
         raw = self.dst.properties.get(_PROJ_PROP)

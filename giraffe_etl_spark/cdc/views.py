@@ -27,11 +27,21 @@ aggregating process over re-imported output files
 
 from __future__ import annotations
 
+import json
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..lake.table import Table
+from ..lake.table import SnapshotExpired, Table
+from .follow import ResyncRequired
 
 _CURSOR_PROP = "rollup.src_snapshot"
+#: persisted view definition — reopening with a different one must fail
+#: loudly, not silently mix deltas computed under two definitions
+_SPEC_PROP = "rollup.spec"
+#: hidden live-row count per group: group existence tracks it exactly,
+#: so a group whose user measures net to 0 but still has live rows
+#: survives — byte-for-byte what a recompute would report
+_ROWS_COL = "_rows"
 
 
 class IncrementalRollup:
@@ -42,9 +52,13 @@ class IncrementalRollup:
     changelog row (e.g. ``{"n_pages": "1", "chars": "length(text)"}``).
     Expressions must be additive and null-free on live rows (wrap with
     ``coalesce`` if a column can be null); tombstone halves contribute
-    nothing by construction.  Groups whose every measure returns to 0
-    are dropped from the rollup (a fully-retracted group disappears,
-    as it would on recompute).
+    nothing by construction.  A hidden live-row count decides group
+    existence: a group leaves the rollup exactly when its last live row
+    is deleted, never because a signed user measure happens to net to
+    zero.  The definition (group columns, measure expressions, deleted
+    column) is persisted at creation; reopening an existing rollup with
+    a different one raises instead of silently stacking deltas computed
+    under two definitions.
     """
 
     def __init__(
@@ -61,7 +75,8 @@ class IncrementalRollup:
         refuses windows containing rewrite commits; pass "skip" when
         the source's rewrites are known to be content-preserving MOR
         compactions (the applier's default maintenance) — their added
-        files restate rows and carry no new contributions."""
+        files restate rows and carry no new contributions.  Operational
+        only, so it may differ between opens (unlike the definition)."""
         self.spark = spark
         self.src = src
         self.group_cols = list(group_cols)
@@ -70,8 +85,32 @@ class IncrementalRollup:
         self.on_rewrite = on_rewrite
         if not self.measures:
             raise ValueError("at least one measure is required")
+        bad = [
+            m for m in self.measures
+            if m.startswith("_") or m in self.group_cols
+        ]
+        if bad:
+            raise ValueError(
+                f"measure names may not start with '_' or shadow group "
+                f"columns: {bad}"
+            )
+        spec = json.dumps(
+            {
+                "group_cols": self.group_cols,
+                "measures": self.measures,
+                "deleted_col": self.deleted_col,
+            },
+            sort_keys=True,
+        )
         if Table.exists(dst_path):
             self.dst = Table.load(spark, dst_path)
+            stored = self.dst.properties.get(_SPEC_PROP)
+            if stored is not None and stored != spec:
+                raise ValueError(
+                    "rollup already exists with a different definition "
+                    f"(stored {stored}, requested {spec}) — syncing would "
+                    "stack deltas computed under two definitions"
+                )
             if self.dst.properties.get(_CURSOR_PROP) == self._BOOTSTRAPPING:
                 # a prior constructor crashed between Table.create and
                 # the seed commit: the sentinel marks the rollup as
@@ -88,6 +127,7 @@ class IncrementalRollup:
         ddl = ", ".join(
             [f"{c} {src_types[c]}" for c in self.group_cols]
             + [f"{m} double" for m in self.measures]
+            + [f"{_ROWS_COL} double"]
         )
         from pyspark.sql.types import StructType
 
@@ -99,7 +139,7 @@ class IncrementalRollup:
             StructType.fromDDL(ddl),
             bucket_key=self.group_cols[0],
             n_buckets=1,
-            properties={_CURSOR_PROP: self._BOOTSTRAPPING},
+            properties={_CURSOR_PROP: self._BOOTSTRAPPING, _SPEC_PROP: spec},
         )
         self._seed()
 
@@ -107,7 +147,9 @@ class IncrementalRollup:
     _BOOTSTRAPPING = "-1"
 
     def _seed(self) -> None:
-        """One-time full aggregate; the real cursor commits WITH it."""
+        """Full aggregate of the CURRENT source state; the real cursor
+        commits WITH it.  Also the recovery path: ``reseed()`` calls
+        this when the cursor fell behind the source's retention window."""
         snap = self.src.current_snapshot()
         self.dst.overwrite_buckets(
             [0],
@@ -115,14 +157,21 @@ class IncrementalRollup:
             properties_update={_CURSOR_PROP: str(snap.snapshot_id)},
         )
 
+    def reseed(self) -> None:
+        """Re-bootstrap from a full scan (after ``ResyncRequired``)."""
+        self._seed()
+
     @property
     def cursor(self) -> int:
         return int(self.dst.properties[_CURSOR_PROP])
 
+    def _all_measures(self) -> dict[str, str]:
+        return {**self.measures, _ROWS_COL: "1"}
+
     def _measure_cols(self, sign) -> list:
         return [
             F.sum(sign * F.expr(expr).cast("double")).alias(name)
-            for name, expr in self.measures.items()
+            for name, expr in self._all_measures().items()
         ]
 
     def _aggregate_live(self, df: DataFrame) -> DataFrame:
@@ -136,15 +185,23 @@ class IncrementalRollup:
     def sync(self) -> dict:
         """Fold all source commits since the cursor into the rollup."""
         head = self.src.current_snapshot()
-        cur = self.cursor
-        if head.snapshot_id <= cur:
-            return {"commits": 0, "src_snapshot": cur}
-        ch = self.src.read_changes(
-            cur,
-            head.snapshot_id,
-            with_pre_images=True,
-            on_rewrite=self.on_rewrite,
-        )
+        cursor = self.cursor
+        if head.snapshot_id <= cursor:
+            return {"commits": 0, "src_snapshot": cursor}
+        try:
+            ch = self.src.read_changes(
+                cursor,
+                head.snapshot_id,
+                with_pre_images=True,
+                on_rewrite=self.on_rewrite,
+            )
+        except SnapshotExpired as e:
+            raise ResyncRequired(
+                f"rollup cursor (snapshot {cursor}) fell behind the "
+                f"source's retention window ({e}) — the intervening "
+                "changes are gone; call reseed() to re-bootstrap from a "
+                "full scan"
+            ) from None
         live = (
             ~F.col(self.deleted_col)
             if self.deleted_col in ch.columns
@@ -183,16 +240,17 @@ class IncrementalRollup:
         # (Spark's groupBy folds nulls into one group), but a plain
         # equi-join would never match it — current and delta null-group
         # rows would both survive as duplicates.  eqNullSafe pairs them.
-        cur = self.dst.read().select(
+        names = list(self._all_measures())
+        cur_df = self.dst.read().select(
             *[F.col(c).alias(f"_cur_g_{c}") for c in self.group_cols],
-            *[F.col(m).alias(f"_cur_{m}") for m in self.measures],
+            *[F.col(m).alias(f"_cur_{m}") for m in names],
         )
         cond = None
         for c in self.group_cols:
-            e = cur[f"_cur_g_{c}"].eqNullSafe(deltas[c])
+            e = cur_df[f"_cur_g_{c}"].eqNullSafe(deltas[c])
             cond = e if cond is None else (cond & e)
         merged = (
-            cur.join(deltas, cond, "full_outer")
+            cur_df.join(deltas, cond, "full_outer")
             .select(
                 *[
                     F.coalesce(deltas[c], F.col(f"_cur_g_{c}")).alias(c)
@@ -203,13 +261,14 @@ class IncrementalRollup:
                         F.coalesce(f"_cur_{m}", F.lit(0.0))
                         + F.coalesce(deltas[m], F.lit(0.0))
                     ).alias(m)
-                    for m in self.measures
+                    for m in names
                 ],
             )
-            # a fully-retracted group vanishes, as on recompute
-            .filter(
-                " or ".join(f"{m} != 0.0" for m in self.measures)
-            )
+            # group existence tracks the live-row count EXACTLY: the
+            # group vanishes when its last live row is deleted, and
+            # only then (a user measure netting to 0 is a value, not
+            # an absence)
+            .filter(F.col(_ROWS_COL) != 0.0)
         )
         self.dst.overwrite_buckets(
             [0],
@@ -219,4 +278,6 @@ class IncrementalRollup:
         return {"commits": 1, "src_snapshot": head.snapshot_id}
 
     def read(self) -> DataFrame:
-        return self.dst.read()
+        """The rollup: one row per group with live rows (the hidden
+        existence counter stays internal)."""
+        return self.dst.read().drop(_ROWS_COL)

@@ -478,6 +478,33 @@ def cdc_changes_from_events(spark, sf_dir) -> DataFrame:
     )
 
 
+def _cdc_fixture(spark, sf_dir, prefix, n_buckets=8):
+    """Shared setup for the cdc_* queries: a fresh applier over a temp
+    root + the events-derived change stream."""
+    import tempfile
+
+    from .cdc import CdcApplier
+
+    root = tempfile.mkdtemp(prefix=prefix)
+    return (
+        CdcApplier(spark, root, n_buckets=n_buckets),
+        cdc_changes_from_events(spark, sf_dir),
+    )
+
+
+def _apply3(applier, changes, on_batch=None):
+    """The standard 3-batch interleaved replay (lsn % 3).  Returns the
+    pages-table snapshot ids [initial, after b0, after b1, after b2];
+    ``on_batch(b)`` runs after each batch commit (sync hooks)."""
+    snaps = [applier.pages.current_snapshot().snapshot_id]
+    for b in range(3):
+        applier.apply_batch(changes.filter(F.col("lsn") % 3 == b), batch_id=b)
+        snaps.append(applier.pages.current_snapshot().snapshot_id)
+        if on_batch is not None:
+            on_batch(b)
+    return snaps
+
+
 def cdc_replay_synthetic(spark, sf_dir):
     """Flagship: full CDC replay, hash-checked against a SQL oracle.
 
@@ -554,17 +581,8 @@ def cdc_changelog_preimage(spark, sf_dir):
     two windows (batch-1 winners; batch-0 winners restricted to
     batch-1's key set).
     """
-    import tempfile
-
-    from .cdc import CdcApplier
-
-    root = tempfile.mkdtemp(prefix="cdc_preimg_")
-    changes = cdc_changes_from_events(spark, sf_dir)
-    applier = CdcApplier(spark, root, n_buckets=8)
-    snaps = [applier.pages.current_snapshot().snapshot_id]
-    for b in range(3):
-        applier.apply_batch(changes.filter(F.col("lsn") % 3 == b), batch_id=b)
-        snaps.append(applier.pages.current_snapshot().snapshot_id)
+    applier, changes = _cdc_fixture(spark, sf_dir, "cdc_preimg_")
+    snaps = _apply3(applier, changes)
     delta = applier.pages.read_changes(
         snaps[1], snaps[2], with_pre_images=True
     )
@@ -593,15 +611,8 @@ def cdc_meta_history(spark, sf_dir):
     manifest bookkeeping (per-file row counts, operation summaries,
     parent chain) is exact, not just the data.
     """
-    import tempfile
-
-    from .cdc import CdcApplier
-
-    root = tempfile.mkdtemp(prefix="cdc_meta_")
-    changes = cdc_changes_from_events(spark, sf_dir)
-    applier = CdcApplier(spark, root, n_buckets=8)
-    for b in range(3):
-        applier.apply_batch(changes.filter(F.col("lsn") % 3 == b), batch_id=b)
+    applier, changes = _cdc_fixture(spark, sf_dir, "cdc_meta_")
+    _apply3(applier, changes)
     return (
         applier.pages.meta("snapshots")
         .select("snapshot_id", "operation", F.col("rows").alias("row_versions"))
@@ -624,19 +635,15 @@ def cdc_filtered_follow(spark, sf_dir):
     """
     import tempfile
 
-    from .cdc import CdcApplier, ChangelogFollower, read_pages
+    from .cdc import ChangelogFollower, read_pages
 
-    root = tempfile.mkdtemp(prefix="cdc_filt_src_")
+    applier, changes = _cdc_fixture(spark, sf_dir, "cdc_filt_src_")
     replica = tempfile.mkdtemp(prefix="cdc_filt_dst_")
-    changes = cdc_changes_from_events(spark, sf_dir)
-    applier = CdcApplier(spark, root, n_buckets=8)
     follower = ChangelogFollower(
         spark, applier.pages, replica + "/en", n_buckets=4,
         where="lang = 'en'",
     )
-    for b in range(3):
-        applier.apply_batch(changes.filter(F.col("lsn") % 3 == b), batch_id=b)
-        follower.sync()
+    _apply3(applier, changes, on_batch=lambda b: follower.sync())
     return (
         read_pages(follower.dst)
         .select("url", "warc_ts", "text", "lang")
@@ -659,12 +666,10 @@ def cdc_incremental_rollup(spark, sf_dir):
     """
     import tempfile
 
-    from .cdc import CdcApplier, IncrementalRollup
+    from .cdc import IncrementalRollup
 
-    root = tempfile.mkdtemp(prefix="cdc_ivr_src_")
+    applier, changes = _cdc_fixture(spark, sf_dir, "cdc_ivr_src_")
     rpath = tempfile.mkdtemp(prefix="cdc_ivr_dst_")
-    changes = cdc_changes_from_events(spark, sf_dir)
-    applier = CdcApplier(spark, root, n_buckets=8)
     rollup = IncrementalRollup(
         spark,
         applier.pages,
@@ -672,9 +677,7 @@ def cdc_incremental_rollup(spark, sf_dir):
         group_cols=["lang"],
         measures={"n_pages": "1", "chars": "coalesce(length(text), 0)"},
     )
-    for b in range(3):
-        applier.apply_batch(changes.filter(F.col("lsn") % 3 == b), batch_id=b)
-        rollup.sync()
+    _apply3(applier, changes, on_batch=lambda b: rollup.sync())
     return rollup.read().select("lang", "n_pages", "chars").orderBy("lang")
 
 
@@ -963,18 +966,11 @@ def cdc_time_travel(spark, sf_dir):
     libgiraffe2's offset log has no analog of this).  The DuckDB
     oracle recomputes the LWW state over batches 0-1 only.
     """
-    import tempfile
+    from .cdc import read_pages
 
-    from .cdc import CdcApplier, read_pages
-
-    root = tempfile.mkdtemp(prefix="cdc_timetravel_")
-    changes = cdc_changes_from_events(spark, sf_dir)
-    applier = CdcApplier(spark, root, n_buckets=8)
-    snaps = []
-    for b in range(3):
-        applier.apply_batch(changes.filter(F.col("lsn") % 3 == b), batch_id=b)
-        snaps.append(applier.pages.current_snapshot().snapshot_id)
-    past = applier.pages.snapshot_at(snaps[1])
+    applier, changes = _cdc_fixture(spark, sf_dir, "cdc_timetravel_")
+    snaps = _apply3(applier, changes)
+    past = applier.pages.snapshot_at(snaps[2])
     return (
         read_pages(applier.pages, snap=past)
         .select("url", "warc_ts", "text", "lang")
@@ -998,19 +994,15 @@ def cdc_derived_rollup(spark, sf_dir):
     """
     import tempfile
 
-    from .cdc import CdcApplier, ChangelogFollower, read_pages
+    from .cdc import ChangelogFollower, read_pages
 
-    root = tempfile.mkdtemp(prefix="cdc_deriv_src_")
+    applier, changes = _cdc_fixture(spark, sf_dir, "cdc_deriv_src_")
     replica = tempfile.mkdtemp(prefix="cdc_deriv_dst_")
-    changes = cdc_changes_from_events(spark, sf_dir)
-    applier = CdcApplier(spark, root, n_buckets=8)
     follower = ChangelogFollower(
         spark, applier.pages, replica + "/langs", n_buckets=4,
         columns=["lang"],
     )
-    for b in range(3):
-        applier.apply_batch(changes.filter(F.col("lsn") % 3 == b), batch_id=b)
-        follower.sync()
+    _apply3(applier, changes, on_batch=lambda b: follower.sync())
     return (
         read_pages(follower.dst)
         .groupBy("lang")

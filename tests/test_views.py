@@ -259,3 +259,88 @@ def test_rollup_null_group_value_merges_not_duplicates(spark, tmp_root):
     )
     rollup.sync()
     assert langs() == [(None, 1.0), ("yy", 1.0)]
+
+
+def test_rollup_zero_netting_group_survives(spark, tmp_root):
+    """Group existence tracks the live-row count, not user measures: a
+    signed measure netting to exactly 0 is a VALUE, and the group stays
+    — as a recompute would report it."""
+    schema = StructType.fromDDL(
+        "url string, warc_ts long, score long, lang string, "
+        "_lsn long, _deleted boolean"
+    )
+    t = Table.create(
+        spark,
+        os.path.join(tmp_root, "t"),
+        schema,
+        bucket_key="url",
+        n_buckets=2,
+        properties={"merge.key": "url", "merge.order": "warc_ts,_lsn"},
+    )
+    t.append(
+        spark.createDataFrame(
+            [
+                ("u1", 1, 5, "xx", 1, False),
+                ("u2", 1, -5, "xx", 2, False),  # xx nets to 0, 2 live rows
+                ("u3", 1, 3, "yy", 3, False),
+            ],
+            schema,
+        )
+    )
+    rollup = IncrementalRollup(
+        spark,
+        t,
+        os.path.join(tmp_root, "rollup"),
+        group_cols=["lang"],
+        measures={"net": "score"},
+    )
+    rows = sorted((r["lang"], r["net"]) for r in rollup.read().collect())
+    assert rows == [("xx", 0.0), ("yy", 3.0)]
+
+    # a sync touching only yy must not evict the zero-valued xx group
+    t.append_deltas(
+        None,
+        spark.createDataFrame([("u3", 2, 4, "yy", 4, False)], schema),
+    )
+    rollup.sync()
+    rows = sorted((r["lang"], r["net"]) for r in rollup.read().collect())
+    assert rows == [("xx", 0.0), ("yy", 4.0)]
+
+    # deleting BOTH xx rows removes the group (live count hits 0)
+    dead = [("u1", 3, None, None, 5, True), ("u2", 3, None, None, 6, True)]
+    t.append_deltas(None, spark.createDataFrame(dead, schema))
+    rollup.sync()
+    rows = sorted((r["lang"], r["net"]) for r in rollup.read().collect())
+    assert rows == [("yy", 4.0)]
+
+
+def test_rollup_reopen_with_different_definition_raises(
+    spark, tmp_root, src_applier
+):
+    _apply(spark, src_applier, 0, 60, 0)
+    path = os.path.join(tmp_root, "rollup")
+    IncrementalRollup(
+        spark, src_applier.pages, path, group_cols=["lang"], measures=MEASURES
+    )
+    # same definition reopens fine
+    IncrementalRollup(
+        spark, src_applier.pages, path, group_cols=["lang"], measures=MEASURES
+    )
+    # a changed measure EXPRESSION must refuse (silent divergence)
+    with pytest.raises(ValueError, match="different definition"):
+        IncrementalRollup(
+            spark,
+            src_applier.pages,
+            path,
+            group_cols=["lang"],
+            measures={"n_pages": "2", "chars": MEASURES["chars"]},
+        )
+    # reserved / colliding measure names fail fast
+    with pytest.raises(ValueError, match="measure names"):
+        IncrementalRollup(
+            spark,
+            src_applier.pages,
+            os.path.join(tmp_root, "r2"),
+            group_cols=["lang"],
+            measures={"_rows": "1"},
+        )
