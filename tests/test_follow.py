@@ -562,3 +562,45 @@ def test_filtered_follower_composes_with_projection(
             os.path.join(tmp_root, "dst"),
             where="lang = 'de'",
         )
+
+
+def test_projection_keeps_spaced_order_and_distinct_merge_key(
+    spark, tmp_root
+):
+    """Required replica columns survive a spaced merge.order list and a
+    merge.key distinct from the bucket key — silently dropping either
+    would break the replica's own reconciled reads."""
+    from pyspark.sql.types import StructType
+
+    from giraffe_etl_spark.lake import Table
+
+    schema = StructType.fromDDL(
+        "bkt string, k string, ts long, seq long, v long, w long"
+    )
+    t = Table.create(
+        spark,
+        os.path.join(tmp_root, "t"),
+        schema,
+        bucket_key="bkt",
+        n_buckets=2,
+        properties={"merge.key": "k", "merge.order": "ts, seq"},
+    )
+    rows = lambda xs: spark.createDataFrame(xs, schema)
+    t.append(rows([("a", "k1", 1, 1, 10, 100), ("b", "k2", 1, 2, 20, 200)]))
+
+    f = ChangelogFollower(
+        spark, t, os.path.join(tmp_root, "dst"), columns=["v"]
+    )
+    # bkt (bucket key), k (merge key), ts+seq (spaced order) all kept;
+    # w (unrequested payload) projected away
+    assert set(f.dst.read().columns) == {"bkt", "k", "ts", "seq", "v"}
+
+    # a dirty-bucket reconcile on the replica works (the bug this
+    # pins: a dropped ' seq' column broke the replica's own max_by)
+    t.append_deltas(None, rows([("a", "k1", 2, 3, 11, 101)]))
+    f.sync()
+    got = sorted(
+        tuple(r)
+        for r in f.dst.read(reconcile=True).select("k", "ts", "v").collect()
+    )
+    assert got == [("k1", 2, 11), ("k2", 1, 20)]

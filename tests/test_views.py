@@ -344,3 +344,45 @@ def test_rollup_reopen_with_different_definition_raises(
             group_cols=["lang"],
             measures={"_rows": "1"},
         )
+
+
+def test_rollup_expired_cursor_raises_resync_and_reseeds(spark, tmp_root):
+    """A cursor behind the source's retention window gets the follower
+    contract (ResyncRequired + recovery), not a raw SnapshotExpired;
+    reseed() restores equality with recompute."""
+    from giraffe_etl_spark.cdc import ResyncRequired
+
+    schema = StructType.fromDDL(
+        "url string, warc_ts long, lang string, _lsn long, _deleted boolean"
+    )
+    t = Table.create(
+        spark,
+        os.path.join(tmp_root, "t"),
+        schema,
+        bucket_key="url",
+        n_buckets=2,
+        properties={"merge.key": "url", "merge.order": "warc_ts,_lsn"},
+    )
+    rows = lambda xs: spark.createDataFrame(xs, schema)
+    t.append(rows([("u1", 1, "xx", 1, False)]))
+    rollup = IncrementalRollup(
+        spark,
+        t,
+        os.path.join(tmp_root, "rollup"),
+        group_cols=["lang"],
+        measures={"n_pages": "1"},
+    )
+    for i in range(6):  # march the source far past the cursor
+        t.append_deltas(None, rows([(f"v{i}", 1, "yy", 10 + i, False)]))
+    t.expire_snapshots(keep_last=2, orphan_min_age_s=0.0)
+
+    with pytest.raises(ResyncRequired, match="reseed"):
+        rollup.sync()
+    rollup.reseed()
+    got = sorted((r["lang"], r["n_pages"]) for r in rollup.read().collect())
+    assert got == [("xx", 1.0), ("yy", 6.0)]
+    # and the reseeded rollup syncs incrementally again
+    t.append_deltas(None, rows([("w", 1, "yy", 99, False)]))
+    rollup.sync()
+    got = sorted((r["lang"], r["n_pages"]) for r in rollup.read().collect())
+    assert got == [("xx", 1.0), ("yy", 7.0)]
